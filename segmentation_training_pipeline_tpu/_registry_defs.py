@@ -1,0 +1,92 @@
+"""Populate the name registries used by config validation.
+
+Callback and augmenter entries are registered as bare names (membership is
+all parse-time validation needs); their implementations live in
+``train.callbacks`` and ``ops.aug`` and are resolved lazily to avoid import
+cycles and to keep `parse()` light.  Loss/metric/optimizer names resolve to
+real callables.
+"""
+
+from .config import (
+    ARCHITECTURES,
+    AUGMENTERS,
+    BACKBONES,
+    CALLBACKS,
+    LOSSES,
+    METRICS,
+    OPTIMIZERS,
+)
+
+# --- architectures (reference: segmentation_models + bundled DeepLabV3+) ---
+for name, aliases in [
+    ("Unet", ("unet",)),
+    ("FPN", ("fpn",)),
+    ("Linknet", ("linknet",)),
+    ("PSPNet", ("pspnet", "psp")),
+    ("DeepLabV3", ("DeepLabV3+", "DeepLabV3Plus", "deeplab", "deeplabv3plus")),
+]:
+    ARCHITECTURES.register(name, name, aliases=aliases)
+
+# --- backbones (reference: classification_models factory names) ---
+for name in [
+    "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+    "seresnet18", "seresnet34", "seresnet50",
+    "vgg16", "vgg19",
+    "mobilenetv2",
+    "efficientnetb0", "efficientnetb1", "efficientnetb2", "efficientnetb3",
+    "efficientnetb4", "efficientnetb5", "efficientnetb6", "efficientnetb7",
+    "densenet121", "densenet169", "densenet201",
+    "xception",
+]:
+    BACKBONES.register(name, name)
+
+# --- optimizers (Keras names → optax builders; resolved in train.optimizers) ---
+for name, aliases in [
+    ("Adam", ()),
+    ("AdamW", ("adamw",)),
+    ("SGD", ("sgd",)),
+    ("RMSprop", ("rmsprop",)),
+    ("Nadam", ()),
+    ("Adagrad", ()),
+    ("Adadelta", ()),
+    ("Lion", ()),
+    ("LAMB", ("lamb",)),
+]:
+    OPTIMIZERS.register(name, name, aliases=aliases)
+
+# --- callbacks (Keras names → host-side equivalents in train.callbacks) ---
+for name in [
+    "EarlyStopping", "ReduceLROnPlateau", "ModelCheckpoint", "CSVLogger",
+    "TensorBoard", "CyclicLR", "LRVariator", "TerminateOnNaN",
+    "LearningRateScheduler",
+]:
+    CALLBACKS.register(name, name)
+
+# --- augmenters (imgaug names → on-device ops in ops.aug.lowering) ---
+for name, aliases in [
+    ("Fliplr", ("HorizontalFlip",)),
+    ("Flipud", ("VerticalFlip",)),
+    ("Rot90", ()),
+    ("Affine", ()),
+    ("ElasticTransformation", ("ElasticTransform", "Elastic")),
+    ("Crop", ()),
+    ("CropToFixedSize", ("RandomCrop",)),
+    ("Multiply", ()),
+    ("Add", ()),
+    ("LinearContrast", ("ContrastNormalization",)),
+    ("AdditiveGaussianNoise", ()),
+    ("GaussianBlur", ()),
+    ("CoarseDropout", ("Cutout",)),
+    ("Grayscale", ()),
+]:
+    AUGMENTERS.register(name, name, aliases=aliases)
+
+# --- losses & metrics: real callables ---
+from .ops import losses as _losses  # noqa: E402
+from .ops import metrics as _metrics  # noqa: E402
+
+for name, fn, aliases in _losses.registry_entries():
+    LOSSES.register(name, fn, aliases=aliases)
+
+for name, fn, aliases in _metrics.registry_entries():
+    METRICS.register(name, fn, aliases=aliases)

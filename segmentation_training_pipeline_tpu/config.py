@@ -1,0 +1,510 @@
+"""YAML experiment schema → typed `PipelineConfig`.
+
+Drop-in compatible with the reference's config surface (upstream
+``segmentation_pipeline/segmentation.py::PipelineConfig`` +
+``impl/configloader.py``, unverified — reference mount empty, SURVEY.md §0):
+one YAML file = one experiment; ``architecture``/``backbone``/``shape``/
+``classes``/``activation``/``loss``/``stages``/``augmentation``/``callbacks``
+keys; per-stage overrides for ``epochs``/``lr``/``loss``/``negatives``/
+``initial_weights``; unknown keys error out with a suggestion.
+
+TPU-native differences live *below* this layer: the parsed config compiles to
+Flax models, optax optimizers, on-device Pallas/XLA augmentation, and
+jit/shard_map training — the YAML surface itself is unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import yaml
+
+from .utils.registry import Registry
+
+# ---------------------------------------------------------------------------
+# Registries (populated lazily by the modules that own the implementations).
+# ---------------------------------------------------------------------------
+
+ARCHITECTURES = Registry("architecture")
+BACKBONES = Registry("backbone")
+OPTIMIZERS = Registry("optimizer")
+CALLBACKS = Registry("callback")
+AUGMENTERS = Registry("augmenter")
+LOSSES = Registry("loss")
+METRICS = Registry("metric")
+
+
+_TOP_LEVEL_KEYS = {
+    # model
+    "architecture", "backbone", "encoder_weights", "shape", "classes",
+    "activation", "dropout",
+    # optimization
+    "optimizer", "lr", "loss", "batch", "metrics", "primary_metric",
+    "primary_metric_mode", "clipnorm", "clipvalue", "weight_decay",
+    # folds / splits
+    "folds_count", "testSplit", "random_state", "stratified",
+    # sampling
+    "negatives", "validation_negatives",
+    # augmentation & transforms
+    "augmentation", "transforms", "preprocessing",
+    # big-image tiling
+    "crops",
+    # inference
+    "flipPred", "testTimeAugmentation", "threshold",
+    # training loop
+    "stages", "callbacks", "freeze_encoder",
+    # bookkeeping
+    "directory", "experiment_name", "verbose",
+    # TPU-native extensions (not in the reference schema)
+    "dtype", "mesh", "prefetch", "remat", "donate",
+}
+
+_STAGE_KEYS = {
+    "epochs", "lr", "loss", "negatives", "validation_negatives",
+    "initial_weights", "callbacks", "freeze_encoder", "unfreeze_encoder",
+    "steps_per_epoch", "batch",
+}
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def _check_keys(d: Dict[str, Any], allowed: set, where: str):
+    for k in d:
+        if k not in allowed:
+            close = None
+            import difflib
+
+            m = difflib.get_close_matches(k, list(allowed), n=1)
+            if m:
+                close = m[0]
+            hint = f" Did you mean {close!r}?" if close else ""
+            raise ConfigError(f"unknown key {k!r} in {where}.{hint}")
+
+
+@dataclass
+class Stage:
+    """One training stage: (fold, stage) is the checkpoint/metrics unit.
+
+    Mirrors upstream ``Stage``/``SegmentationStage`` (unverified): per-stage
+    ``epochs``/``lr``/``loss``/``negatives``/``initial_weights`` overrides,
+    with the best weights of stage *i* feeding stage *i+1*.
+    """
+
+    index: int = 0
+    epochs: int = 1
+    lr: Optional[float] = None
+    loss: Optional[str] = None
+    negatives: Optional[Any] = None             # none | real | int ratio
+    validation_negatives: Optional[Any] = None
+    initial_weights: Optional[str] = None
+    callbacks: List[Dict[str, Any]] = field(default_factory=list)
+    freeze_encoder: Optional[bool] = None
+    unfreeze_encoder: bool = False
+    steps_per_epoch: Optional[int] = None
+    batch: Optional[int] = None
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any], index: int) -> "Stage":
+        _check_keys(d, _STAGE_KEYS, f"stages[{index}]")
+        cbs = _normalize_callbacks(d.get("callbacks"))
+        return Stage(
+            index=index,
+            epochs=int(d.get("epochs", 1)),
+            lr=_opt_float(d.get("lr")),
+            loss=d.get("loss"),
+            negatives=d.get("negatives"),
+            validation_negatives=d.get("validation_negatives"),
+            initial_weights=d.get("initial_weights"),
+            callbacks=cbs,
+            freeze_encoder=d.get("freeze_encoder"),
+            unfreeze_encoder=bool(d.get("unfreeze_encoder", False)),
+            steps_per_epoch=d.get("steps_per_epoch"),
+            batch=d.get("batch"),
+        )
+
+
+def _opt_float(v):
+    return None if v is None else float(v)
+
+
+def _normalize_callbacks(spec) -> List[Dict[str, Any]]:
+    """Accept both mapping and list-of-mapping callback syntax.
+
+    The reference accepts ``callbacks: {EarlyStopping: {...}}`` and
+    ``callbacks: [{EarlyStopping: {...}}]`` (README examples use the mapping
+    form; unverified).  Normalize to ``[{"name": ..., "args": {...}}]`` and
+    validate names against the callback registry at *parse* time.
+    """
+    if spec is None:
+        return []
+    out: List[Dict[str, Any]] = []
+    items: List[Tuple[str, Any]] = []
+    if isinstance(spec, dict):
+        items = list(spec.items())
+    elif isinstance(spec, list):
+        for entry in spec:
+            if isinstance(entry, str):
+                items.append((entry, {}))
+            elif isinstance(entry, dict) and len(entry) == 1:
+                items.append(next(iter(entry.items())))
+            else:
+                raise ConfigError(f"bad callback entry: {entry!r}")
+    else:
+        raise ConfigError(f"bad callbacks block: {spec!r}")
+    for name, args in items:
+        if name not in CALLBACKS:
+            hint = CALLBACKS.suggest(name)
+            extra = f" Did you mean {hint!r}?" if hint else ""
+            raise ConfigError(f"unknown callback {name!r}.{extra}")
+        out.append({"name": name, "args": dict(args or {})})
+    return out
+
+
+def _normalize_augmentation(spec) -> List[Dict[str, Any]]:
+    """Validate & normalize the imgaug-style ``augmentation:`` block.
+
+    ``{Fliplr: 0.5, Affine: {rotate: [-10, 10]}}`` →
+    ``[{"name": "Fliplr", "args": 0.5}, {"name": "Affine", "args": {...}}]``.
+    Semantics (parameter ranges, joint image+mask transforms) are implemented
+    in :mod:`..ops.aug.lowering`, which lowers this list to a single fused
+    on-device inverse warp.
+    """
+    if spec is None:
+        return []
+    items: List[Tuple[str, Any]] = []
+    if isinstance(spec, dict):
+        items = list(spec.items())
+    elif isinstance(spec, list):
+        for entry in spec:
+            if isinstance(entry, dict) and len(entry) == 1:
+                items.append(next(iter(entry.items())))
+            elif isinstance(entry, str):
+                items.append((entry, {}))
+            else:
+                raise ConfigError(f"bad augmentation entry: {entry!r}")
+    else:
+        raise ConfigError(f"bad augmentation block: {spec!r}")
+    out = []
+    for name, args in items:
+        if name not in AUGMENTERS:
+            hint = AUGMENTERS.suggest(name)
+            extra = f" Did you mean {hint!r}?" if hint else ""
+            raise ConfigError(f"unknown augmenter {name!r}.{extra}")
+        out.append({"name": name, "args": args})
+    return out
+
+
+@dataclass
+class PipelineConfig:
+    """Parsed experiment.  The single user-facing object of the framework.
+
+    Construction validates everything cheaply (no JAX imports on this path);
+    heavyweight pieces (model, optimizer, aug pipeline) are built lazily by
+    the training/inference modules.
+    """
+
+    # model
+    architecture: str = "Unet"
+    backbone: str = "resnet34"
+    encoder_weights: Optional[str] = None
+    shape: Tuple[int, int, int] = (128, 128, 3)
+    classes: int = 1
+    activation: str = "sigmoid"
+    dropout: float = 0.0
+
+    # optimization
+    optimizer: str = "Adam"
+    lr: float = 1e-3
+    loss: str = "binary_crossentropy"
+    batch: int = 16
+    metrics: List[str] = field(default_factory=list)
+    primary_metric: str = "val_loss"
+    primary_metric_mode: str = "auto"
+    clipnorm: Optional[float] = None
+    clipvalue: Optional[float] = None
+    weight_decay: float = 0.0
+
+    # folds / splits
+    folds_count: int = 5
+    testSplit: float = 0.0
+    random_state: int = 33
+    stratified: bool = False
+
+    # sampling
+    negatives: Optional[Any] = None
+    validation_negatives: Optional[Any] = None
+
+    # augmentation
+    augmentation: List[Dict[str, Any]] = field(default_factory=list)
+    transforms: List[Dict[str, Any]] = field(default_factory=list)
+    preprocessing: Optional[str] = None
+
+    # big-image tiling
+    crops: Optional[int] = None
+
+    # inference
+    flipPred: bool = False
+    testTimeAugmentation: Optional[str] = None
+    threshold: float = 0.5
+
+    # training loop
+    stages: List[Stage] = field(default_factory=lambda: [Stage()])
+    callbacks: List[Dict[str, Any]] = field(default_factory=list)
+    freeze_encoder: bool = False
+
+    # bookkeeping
+    directory: str = "."
+    experiment_name: str = "experiment"
+    verbose: int = 1
+
+    # TPU-native extensions
+    dtype: str = "bfloat16"
+    mesh: Dict[str, int] = field(default_factory=dict)
+    prefetch: int = 2
+    remat: bool = False
+    donate: bool = True
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_dict(d: Dict[str, Any], directory: str = ".") -> "PipelineConfig":
+        # ensure registries are populated before validating names
+        _populate_registries()
+        _check_keys(d, _TOP_LEVEL_KEYS, "config")
+
+        shape = tuple(d.get("shape", (128, 128, 3)))
+        if len(shape) == 2:
+            shape = (*shape, 3)
+        if len(shape) != 3:
+            raise ConfigError(f"shape must be [H, W, C], got {shape!r}")
+
+        arch = str(d.get("architecture", "Unet"))
+        if arch not in ARCHITECTURES:
+            hint = ARCHITECTURES.suggest(arch)
+            extra = f" Did you mean {hint!r}?" if hint else ""
+            raise ConfigError(f"unknown architecture {arch!r}.{extra}")
+
+        backbone = str(d.get("backbone", "resnet34"))
+        if backbone not in BACKBONES:
+            hint = BACKBONES.suggest(backbone)
+            extra = f" Did you mean {hint!r}?" if hint else ""
+            raise ConfigError(f"unknown backbone {backbone!r}.{extra}")
+
+        opt = str(d.get("optimizer", "Adam"))
+        if opt not in OPTIMIZERS:
+            hint = OPTIMIZERS.suggest(opt)
+            extra = f" Did you mean {hint!r}?" if hint else ""
+            raise ConfigError(f"unknown optimizer {opt!r}.{extra}")
+
+        activation = str(d.get("activation", "sigmoid"))
+        if activation not in ("sigmoid", "softmax", "linear", "none"):
+            raise ConfigError(f"unknown activation {activation!r}")
+
+        metrics_list = list(d.get("metrics", []) or [])
+        for m in metrics_list:
+            if m not in METRICS:
+                hint = METRICS.suggest(m)
+                extra = f" Did you mean {hint!r}?" if hint else ""
+                raise ConfigError(f"unknown metric {m!r}.{extra}")
+
+        # loss expressions are validated by the composite parser
+        from .ops.losses import validate_loss_expr
+
+        loss = str(d.get("loss", "binary_crossentropy"))
+        validate_loss_expr(loss)
+
+        stages_spec = d.get("stages") or [{}]
+        stages = [Stage.from_dict(s or {}, i) for i, s in enumerate(stages_spec)]
+        for s in stages:
+            if s.loss is not None:
+                validate_loss_expr(s.loss)
+
+        mode = str(d.get("primary_metric_mode", "auto"))
+        if mode not in ("auto", "min", "max"):
+            raise ConfigError(f"primary_metric_mode must be auto|min|max, got {mode!r}")
+
+        dtype = str(d.get("dtype", "bfloat16"))
+        if dtype not in ("bfloat16", "float32", "float16"):
+            raise ConfigError(f"dtype must be bfloat16|float32|float16, got {dtype!r}")
+
+        crops = d.get("crops")
+        if crops is not None:
+            crops = int(crops)
+            if crops < 2:
+                raise ConfigError("crops must be >= 2 (N×N tiling)")
+
+        cfg = PipelineConfig(
+            architecture=arch,
+            backbone=backbone,
+            encoder_weights=d.get("encoder_weights"),
+            shape=shape,  # type: ignore[arg-type]
+            classes=int(d.get("classes", 1)),
+            activation=activation,
+            dropout=float(d.get("dropout", 0.0)),
+            optimizer=opt,
+            lr=float(d.get("lr", 1e-3)),
+            loss=loss,
+            batch=int(d.get("batch", 16)),
+            metrics=metrics_list,
+            primary_metric=str(d.get("primary_metric", "val_loss")),
+            primary_metric_mode=mode,
+            clipnorm=_opt_float(d.get("clipnorm")),
+            clipvalue=_opt_float(d.get("clipvalue")),
+            weight_decay=float(d.get("weight_decay", 0.0)),
+            folds_count=int(d.get("folds_count", 5)),
+            testSplit=float(d.get("testSplit", 0.0)),
+            random_state=int(d.get("random_state", 33)),
+            stratified=bool(d.get("stratified", False)),
+            negatives=d.get("negatives"),
+            validation_negatives=d.get("validation_negatives"),
+            augmentation=_normalize_augmentation(d.get("augmentation")),
+            transforms=_normalize_augmentation(d.get("transforms")),
+            preprocessing=d.get("preprocessing"),
+            crops=crops,
+            flipPred=bool(d.get("flipPred", False)),
+            testTimeAugmentation=d.get("testTimeAugmentation"),
+            threshold=float(d.get("threshold", 0.5)),
+            stages=stages,
+            callbacks=_normalize_callbacks(d.get("callbacks")),
+            freeze_encoder=bool(d.get("freeze_encoder", False)),
+            directory=str(d.get("directory", directory)),
+            experiment_name=str(d.get("experiment_name", "experiment")),
+            verbose=int(d.get("verbose", 1)),
+            dtype=dtype,
+            mesh=dict(d.get("mesh", {}) or {}),
+            prefetch=int(d.get("prefetch", 2)),
+            remat=bool(d.get("remat", False)),
+            donate=bool(d.get("donate", True)),
+        )
+        return cfg
+
+    # ------------------------------------------------------------------
+    # derived properties
+    # ------------------------------------------------------------------
+    @property
+    def weights_dir(self) -> str:
+        return os.path.join(self.directory, "weights")
+
+    @property
+    def metrics_dir(self) -> str:
+        return os.path.join(self.directory, "metrics")
+
+    def weights_path(self, fold: int, stage: int) -> str:
+        # reference contract: weights/best-{fold}.{stage}.weights
+        return os.path.join(self.weights_dir, f"best-{fold}.{stage}.weights")
+
+    def metrics_path(self, fold: int, stage: int) -> str:
+        # reference contract: metrics/metrics-{fold}.{stage}.csv
+        return os.path.join(self.metrics_dir, f"metrics-{fold}.{stage}.csv")
+
+    def primary_mode(self) -> str:
+        """Resolve ``auto`` mode from the metric name, Keras-style."""
+        if self.primary_metric_mode != "auto":
+            return self.primary_metric_mode
+        name = self.primary_metric.replace("val_", "")
+        return "min" if ("loss" in name or "error" in name) else "max"
+
+    # ------------------------------------------------------------------
+    # heavyweight entry points (lazy imports to keep parse cheap)
+    # ------------------------------------------------------------------
+    def fit(self, dataset, foldsToExecute: Optional[Sequence[int]] = None,
+            start_from_stage: int = 0, **kw):
+        """Train all requested folds through all stages.  See train.stage."""
+        from .train.stage import fit_pipeline
+
+        return fit_pipeline(self, dataset, foldsToExecute=foldsToExecute,
+                            start_from_stage=start_from_stage, **kw)
+
+    def load(self, fold: int = 0, stage: int = -1):
+        """Load trained weights for (fold, stage) → an inference model bundle."""
+        from .infer import load_model
+
+        return load_model(self, fold, stage)
+
+    def predict_all_to_dir(self, src, dst, **kw):
+        from .infer import predict_all_to_dir
+
+        return predict_all_to_dir(self, src, dst, **kw)
+
+    def predict_in_directory(self, src, dst, **kw):  # reference alias
+        return self.predict_all_to_dir(src, dst, **kw)
+
+    def predict_to_directory(self, src, dst, **kw):  # reference alias
+        return self.predict_all_to_dir(src, dst, **kw)
+
+    def predict_on_dataset(self, dataset, **kw):
+        from .infer import predict_on_dataset
+
+        return predict_on_dataset(self, dataset, **kw)
+
+    def evaluate(self, dataset, **kw):
+        from .infer import evaluate
+
+        return evaluate(self, dataset, **kw)
+
+    def evaluateAll(self, dataset, **kw):  # reference alias
+        return self.evaluate(dataset, **kw)
+
+    def kfold(self, dataset):
+        from .data.datasets import KFoldedDataSet
+
+        return KFoldedDataSet(
+            dataset,
+            folds_count=self.folds_count,
+            random_state=self.random_state,
+            test_split=self.testSplit,
+            stratified=self.stratified,
+        )
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        return d
+
+
+# ---------------------------------------------------------------------------
+# module-level entry points (reference: segmentation.parse(path))
+# ---------------------------------------------------------------------------
+
+def parse(path: str) -> PipelineConfig:
+    """Parse a YAML experiment file → PipelineConfig.
+
+    The experiment directory (for ``weights/`` and ``metrics/``) is the
+    directory containing the YAML file, matching the reference's layout.
+    """
+    with open(path, "r") as f:
+        raw = yaml.safe_load(f) or {}
+    if not isinstance(raw, dict):
+        raise ConfigError(f"config root must be a mapping, got {type(raw).__name__}")
+    directory = os.path.dirname(os.path.abspath(path))
+    return PipelineConfig.from_dict(raw, directory=directory)
+
+
+def parse_dict(d: Dict[str, Any], directory: str = ".") -> PipelineConfig:
+    return PipelineConfig.from_dict(dict(d), directory=directory)
+
+
+# ---------------------------------------------------------------------------
+# registry population
+# ---------------------------------------------------------------------------
+
+_POPULATED = False
+
+
+def _populate_registries():
+    """Import the implementation modules so they self-register names.
+
+    Kept lazy so that `import segmentation_training_pipeline_tpu` does not pull
+    in JAX before the user's own device/mesh setup runs.
+    """
+    global _POPULATED
+    if _POPULATED:
+        return
+    _POPULATED = True
+    from . import _registry_defs  # noqa: F401

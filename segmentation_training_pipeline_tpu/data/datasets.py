@@ -1,0 +1,279 @@
+"""Dataset protocol, K-fold splitting, negative sampling.
+
+Reference parity (upstream ``segmentation_pipeline/impl/datasets.py``,
+unverified — SURVEY.md §2a): ``PredictionItem(id, x, y)``, the ``DataSet``
+protocol (``__len__`` + ``__getitem__``), seeded sklearn-style K-fold
+assignment, positive/negative split with per-epoch sampling
+(``negatives: none|real|N``), and composite/subset wrappers.
+
+TPU-native notes: this layer is pure host-side index math — it never touches
+JAX.  Per-epoch *index plans* are computed here deterministically so the
+device-side input stream stays a pure function of (epoch, step); that is what
+lets the training step stay jit-clean (SURVEY §7 hard part 5).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class PredictionItem:
+    """One example: image ``x`` (H, W, C), optional mask ``y``.
+
+    ``id`` is the stable identifier used for prediction filenames.
+    """
+
+    id: Any
+    x: np.ndarray
+    y: Optional[np.ndarray] = None
+    prediction: Optional[np.ndarray] = None
+
+
+class DataSet:
+    """Minimal dataset protocol: ``__len__`` and ``__getitem__`` → PredictionItem."""
+
+    def __len__(self) -> int:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __getitem__(self, idx: int) -> PredictionItem:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def item(self, idx: int) -> PredictionItem:
+        return self[idx]
+
+
+class CompositeDataSet(DataSet):
+    """Concatenation of several datasets (reference: extra_train_data merging)."""
+
+    def __init__(self, *datasets: DataSet):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, idx):
+        if idx < 0:
+            idx += len(self)
+        d = int(np.searchsorted(self._offsets, idx, side="right") - 1)
+        return self.datasets[d][idx - int(self._offsets[d])]
+
+
+class SubDataSet(DataSet):
+    """A view over a subset of indices of a parent dataset."""
+
+    def __init__(self, parent: DataSet, indices: Sequence[int]):
+        self.parent = parent
+        self.indices = np.asarray(indices, dtype=np.int64)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx):
+        return self.parent[int(self.indices[idx])]
+
+
+class LambdaDataSet(DataSet):
+    """Build a dataset from arrays or callables (used by tests/examples)."""
+
+    def __init__(self, xs, ys=None, ids=None):
+        self.xs = xs
+        self.ys = ys
+        self.ids = ids
+
+    def __len__(self):
+        return len(self.xs)
+
+    def __getitem__(self, idx):
+        x = self.xs[idx]
+        y = None if self.ys is None else self.ys[idx]
+        i = idx if self.ids is None else self.ids[idx]
+        return PredictionItem(i, np.asarray(x), None if y is None else np.asarray(y))
+
+
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp")
+
+
+class DirectoryDataSet(DataSet):
+    """images-dir (+ optional masks-dir) → dataset of PredictionItems.
+
+    Masks are matched by stem: ``images/a.jpg`` ↔ ``masks/a.png`` (any image
+    extension).  Images decode to RGB uint8, masks to single-channel uint8.
+    """
+
+    def __init__(self, images_dir: str, masks_dir: Optional[str] = None):
+        self.images_dir = images_dir
+        self.masks_dir = masks_dir
+        self.files = sorted(
+            f for f in os.listdir(images_dir) if f.lower().endswith(_IMG_EXTS)
+        )
+        if not self.files:
+            raise ValueError(f"no images found in {images_dir!r}")
+        self._mask_index = {}
+        if masks_dir:
+            for f in os.listdir(masks_dir):
+                if f.lower().endswith(_IMG_EXTS):
+                    self._mask_index[os.path.splitext(f)[0]] = f
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx):
+        import cv2
+
+        fname = self.files[idx]
+        stem = os.path.splitext(fname)[0]
+        img = cv2.imread(os.path.join(self.images_dir, fname), cv2.IMREAD_COLOR)
+        if img is None:
+            raise IOError(f"failed to read {fname!r}")
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        y = None
+        if self.masks_dir and stem in self._mask_index:
+            m = cv2.imread(
+                os.path.join(self.masks_dir, self._mask_index[stem]),
+                cv2.IMREAD_GRAYSCALE,
+            )
+            if m is None:
+                raise IOError(f"failed to read mask for {fname!r}")
+            y = m
+        return PredictionItem(stem, img, y)
+
+
+# ---------------------------------------------------------------------------
+# K-fold index math (sklearn-compatible; verified against sklearn in tests)
+# ---------------------------------------------------------------------------
+
+def kfold_indices(n: int, folds: int, random_state: int = 33,
+                  shuffle: bool = True) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Reproduce ``sklearn.model_selection.KFold(folds, shuffle, random_state)``.
+
+    sklearn semantics: shuffle indices with ``np.random.RandomState(seed)``,
+    then take consecutive chunks as test folds; the first ``n % folds`` folds
+    get one extra element.  ~30 lines of deterministic math instead of a
+    dependency (SURVEY §2b).
+    """
+    if folds < 2:
+        raise ValueError("folds_count must be >= 2 for k-fold splitting")
+    idx = np.arange(n)
+    if shuffle:
+        np.random.RandomState(random_state).shuffle(idx)
+    sizes = np.full(folds, n // folds, dtype=np.int64)
+    sizes[: n % folds] += 1
+    out = []
+    start = 0
+    for s in sizes:
+        test = idx[start : start + s]
+        train = np.concatenate([idx[:start], idx[start + s :]])
+        out.append((np.sort(train), np.sort(test)))
+        start += s
+    return out
+
+
+def _is_negative(item: PredictionItem) -> bool:
+    y = item.y
+    return y is None or not np.any(y)
+
+
+@dataclass
+class FoldSplit:
+    train: np.ndarray
+    val: np.ndarray
+
+
+class KFoldedDataSet:
+    """Seeded K-fold view over a dataset with negative-sampling plans.
+
+    ``negatives``/``validation_negatives`` ∈ {None/'real', 'none', int}:
+      * ``real`` / None — keep every empty-mask item (the real distribution);
+      * ``none`` — drop empty-mask items entirely;
+      * ``N`` (int) — per epoch, sample ``N × n_positives`` negatives (with a
+        per-epoch seed), the reference's ratio semantics.
+
+    ``epoch_indices(fold, epoch, negatives)`` returns the deterministic index
+    plan for that epoch — host-side randomness only, so devices see a pure
+    stream.
+    """
+
+    def __init__(self, dataset: DataSet, folds_count: int = 5,
+                 random_state: int = 33, test_split: float = 0.0,
+                 stratified: bool = False):
+        self.dataset = dataset
+        self.folds_count = folds_count
+        self.random_state = random_state
+        n = len(dataset)
+        all_idx = np.arange(n)
+        if test_split and test_split > 0:
+            rng = np.random.RandomState(random_state)
+            perm = rng.permutation(n)
+            n_test = int(round(n * test_split))
+            self.test_indices = np.sort(perm[:n_test])
+            work = np.sort(perm[n_test:])
+        else:
+            self.test_indices = np.empty(0, dtype=np.int64)
+            work = all_idx
+        self._work = work
+        rel_folds = kfold_indices(len(work), folds_count, random_state)
+        self.folds = [FoldSplit(work[tr], work[va]) for tr, va in rel_folds]
+        self._neg_cache: Optional[np.ndarray] = None
+
+    def __len__(self):
+        return self.folds_count
+
+    # -- negativity classification (cached; one pass over the dataset) ------
+    def _negativity(self) -> np.ndarray:
+        if self._neg_cache is None:
+            flags = np.zeros(len(self.dataset), dtype=bool)
+            for i in range(len(self.dataset)):
+                flags[i] = _is_negative(self.dataset[i])
+            self._neg_cache = flags
+        return self._neg_cache
+
+    def _apply_negatives(self, indices: np.ndarray, negatives,
+                         epoch: int) -> np.ndarray:
+        if negatives in (None, "real"):
+            return indices
+        neg_flags = self._negativity()[indices]
+        pos = indices[~neg_flags]
+        neg = indices[neg_flags]
+        if negatives == "none":
+            return pos
+        try:
+            ratio = float(negatives)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"negatives must be 'none', 'real' or a number, got {negatives!r}"
+            )
+        want = int(round(ratio * len(pos)))
+        if want >= len(neg):
+            return indices
+        rng = np.random.RandomState((self.random_state * 1_000_003 + epoch) % (2**31))
+        chosen = rng.choice(neg, size=want, replace=False)
+        return np.concatenate([pos, chosen])
+
+    def epoch_indices(self, fold: int, epoch: int, negatives=None,
+                      shuffle: bool = True) -> np.ndarray:
+        """Deterministic training index plan for (fold, epoch)."""
+        base = self._apply_negatives(self.folds[fold].train, negatives, epoch)
+        if shuffle:
+            rng = np.random.RandomState(
+                (self.random_state * 7_654_321 + fold * 97 + epoch) % (2**31)
+            )
+            base = rng.permutation(base)
+        return base
+
+    def val_indices(self, fold: int, validation_negatives=None) -> np.ndarray:
+        return self._apply_negatives(self.folds[fold].val, validation_negatives, 0)
+
+    def train_subset(self, fold: int) -> SubDataSet:
+        return SubDataSet(self.dataset, self.folds[fold].train)
+
+    def val_subset(self, fold: int) -> SubDataSet:
+        return SubDataSet(self.dataset, self.folds[fold].val)
+
+    def test_subset(self) -> SubDataSet:
+        return SubDataSet(self.dataset, self.test_indices)

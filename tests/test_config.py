@@ -1,0 +1,135 @@
+import os
+
+import pytest
+import yaml
+
+import segmentation_training_pipeline_tpu as stp
+from segmentation_training_pipeline_tpu.config import ConfigError, parse_dict
+
+
+FULL_YAML = """
+architecture: Unet
+backbone: resnet34
+shape: [128, 128, 3]
+classes: 1
+activation: sigmoid
+encoder_weights: null
+optimizer: Adam
+batch: 8
+lr: 0.001
+loss: binary_crossentropy + 0.25*dice_loss
+metrics: [dice, iou]
+primary_metric: val_dice
+primary_metric_mode: auto
+folds_count: 5
+testSplit: 0.1
+random_state: 33
+negatives: real
+augmentation:
+  Fliplr: 0.5
+  Flipud: 0.2
+  Affine:
+    rotate: [-10, 10]
+    scale: [0.9, 1.1]
+callbacks:
+  EarlyStopping:
+    patience: 10
+    monitor: val_dice
+stages:
+  - epochs: 2
+    freeze_encoder: true
+  - epochs: 5
+    lr: 0.0001
+    unfreeze_encoder: true
+    negatives: 2
+    callbacks:
+      ReduceLROnPlateau:
+        patience: 3
+        factor: 0.5
+"""
+
+
+def test_parse_full(tmp_path):
+    p = tmp_path / "cfg.yaml"
+    p.write_text(FULL_YAML)
+    cfg = stp.parse(str(p))
+    assert cfg.architecture == "Unet"
+    assert cfg.backbone == "resnet34"
+    assert cfg.shape == (128, 128, 3)
+    assert cfg.batch == 8
+    assert len(cfg.stages) == 2
+    assert cfg.stages[0].freeze_encoder is True
+    assert cfg.stages[1].lr == pytest.approx(1e-4)
+    assert cfg.stages[1].negatives == 2
+    assert cfg.stages[1].callbacks[0]["name"] == "ReduceLROnPlateau"
+    assert cfg.augmentation[0]["name"] == "Fliplr"
+    assert cfg.directory == str(tmp_path)
+    assert cfg.weights_path(0, 1).endswith(os.path.join("weights", "best-0.1.weights"))
+    assert cfg.metrics_path(2, 0).endswith(os.path.join("metrics", "metrics-2.0.csv"))
+
+
+def test_unknown_top_key():
+    with pytest.raises(ConfigError, match="unknown key"):
+        parse_dict({"architedture": "Unet"})
+
+
+def test_unknown_architecture_suggests():
+    with pytest.raises(ConfigError, match="Did you mean 'Unet'"):
+        parse_dict({"architecture": "Unte"})
+
+
+def test_unknown_backbone():
+    with pytest.raises(ConfigError, match="backbone"):
+        parse_dict({"backbone": "resnet35"})
+
+
+def test_unknown_callback():
+    with pytest.raises(ConfigError, match="callback"):
+        parse_dict({"callbacks": {"EarlyStoping": {}}})
+
+
+def test_unknown_augmenter():
+    with pytest.raises(ConfigError, match="augmenter"):
+        parse_dict({"augmentation": {"Flipllr": 0.5}})
+
+
+def test_bad_loss_expr():
+    with pytest.raises(Exception, match="loss"):
+        parse_dict({"loss": "dice_loss + + bce"})
+
+
+def test_unknown_stage_key():
+    with pytest.raises(ConfigError, match=r"stages\[0\]"):
+        parse_dict({"stages": [{"epochz": 3}]})
+
+
+def test_case_insensitive_arch_and_aliases():
+    cfg = parse_dict({"architecture": "unet", "backbone": "resnet18"})
+    assert cfg.architecture == "unet"
+    cfg = parse_dict({"architecture": "DeepLabV3+", "backbone": "mobilenetv2"})
+    assert cfg.architecture == "DeepLabV3+"
+
+
+def test_primary_mode_auto():
+    cfg = parse_dict({"primary_metric": "val_dice"})
+    assert cfg.primary_mode() == "max"
+    cfg = parse_dict({"primary_metric": "val_loss"})
+    assert cfg.primary_mode() == "min"
+    cfg = parse_dict({"primary_metric": "val_dice", "primary_metric_mode": "min"})
+    assert cfg.primary_mode() == "min"
+
+
+def test_shape_2d_gets_channels():
+    cfg = parse_dict({"shape": [96, 96]})
+    assert cfg.shape == (96, 96, 3)
+
+
+def test_callbacks_list_form():
+    cfg = parse_dict({"callbacks": [{"EarlyStopping": {"patience": 3}}, "TerminateOnNaN"]})
+    assert [c["name"] for c in cfg.callbacks] == ["EarlyStopping", "TerminateOnNaN"]
+
+
+def test_crops_validation():
+    with pytest.raises(ConfigError):
+        parse_dict({"crops": 1})
+    assert parse_dict({"crops": 3}).crops == 3
