@@ -1,0 +1,5 @@
+from .unet import UnetDecoder
+from .fpn import FPNDecoder
+from .linknet import LinknetDecoder
+from .pspnet import PSPDecoder
+from .deeplab import DeepLabV3PlusDecoder

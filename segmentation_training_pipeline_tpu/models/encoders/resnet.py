@@ -1,0 +1,107 @@
+"""ResNet / SE-ResNet encoders (He et al. 2016; Hu et al. 2018).
+
+Feature-tap parity with the reference's `classification_models` ResNets
+(SURVEY.md §3.4, unverified): C1 = post-stem ReLU (stride 2), C2..C5 = the
+four residual stages (strides 4/8/16/32).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..layers import SEBlock
+
+Dtype = Any
+
+
+class BasicBlock(nn.Module):
+    features: int
+    strides: Tuple[int, int]
+    dtype: Dtype
+    use_se: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+        residual = x
+        y = nn.Conv(self.features, (3, 3), self.strides, padding="SAME",
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(norm("bn1")(y))
+        y = nn.Conv(self.features, (3, 3), padding="SAME",
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = norm("bn2")(y)
+        if self.use_se:
+            y = SEBlock(max(self.features // 16, 8), dtype=self.dtype, name="se")(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.features, (1, 1), self.strides,
+                               use_bias=False, dtype=self.dtype, name="downsample")(residual)
+            residual = norm("bn_down")(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    features: int  # inner width; output is 4x
+    strides: Tuple[int, int]
+    dtype: Dtype
+    use_se: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(norm("bn1")(y))
+        y = nn.Conv(self.features, (3, 3), self.strides, padding="SAME",
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.relu(norm("bn2")(y))
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
+        y = norm("bn3")(y)
+        if self.use_se:
+            y = SEBlock(max(self.features * 4 // 16, 8), dtype=self.dtype, name="se")(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.features * 4, (1, 1), self.strides,
+                               use_bias=False, dtype=self.dtype, name="downsample")(residual)
+            residual = norm("bn_down")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetEncoder(nn.Module):
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    bottleneck: bool = False
+    width: int = 64
+    dtype: Dtype = jnp.bfloat16
+    use_se: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        Block = Bottleneck if self.bottleneck else BasicBlock
+        feats = []
+        # stem: 7x7/2 conv
+        y = nn.Conv(self.width, (7, 7), (2, 2), padding="SAME",
+                    use_bias=False, dtype=self.dtype, name="stem_conv")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="stem_bn")(y)
+        y = nn.relu(y)
+        feats.append(y)  # C1 stride 2
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
+        for stage, n_blocks in enumerate(self.stage_sizes):
+            features = self.width * (2 ** stage)
+            for b in range(n_blocks):
+                strides = (2, 2) if (b == 0 and stage > 0) else (1, 1)
+                y = Block(features, strides, self.dtype, use_se=self.use_se,
+                          name=f"stage{stage+1}_block{b+1}")(y, train)
+            feats.append(y)  # C2..C5 at strides 4/8/16/32
+        return feats
+
+
+class SEResNetEncoder(ResNetEncoder):
+    use_se: bool = True

@@ -1,0 +1,117 @@
+"""architecture + backbone → SegmentationModel (Flax).
+
+The TPU-native equivalent of the reference's model construction
+(`segmentation_models.Unet("resnet34", encoder_weights=..., input_shape=...,
+classes=..., activation=...)` — SURVEY.md §3.4).  Models return **logits**
+in float32; losses/metrics apply the configured activation internally
+(numerically stable under bf16 compute).
+
+Param-tree layout contract (used by freeze/unfreeze and weight converters):
+``params["encoder"]`` / ``params["decoder"]`` / ``params["logits_conv"]``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .decoders import (
+    DeepLabV3PlusDecoder,
+    FPNDecoder,
+    LinknetDecoder,
+    PSPDecoder,
+    UnetDecoder,
+)
+from .encoders import encoder_spec
+
+Dtype = Any
+
+_DECODERS = {
+    "unet": UnetDecoder,
+    "fpn": FPNDecoder,
+    "linknet": LinknetDecoder,
+    "pspnet": PSPDecoder,
+    "psp": PSPDecoder,
+    "deeplabv3": DeepLabV3PlusDecoder,
+    "deeplabv3+": DeepLabV3PlusDecoder,
+    "deeplabv3plus": DeepLabV3PlusDecoder,
+    "deeplab": DeepLabV3PlusDecoder,
+}
+
+
+class SegmentationModel(nn.Module):
+    """encoder → decoder → dropout → 1x1 conv head (logits, float32)."""
+
+    architecture: str = "Unet"
+    backbone: str = "resnet34"
+    classes: int = 1
+    dropout: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        arch = self.architecture.lower()
+        if arch not in _DECODERS:
+            raise KeyError(
+                f"unknown architecture {self.architecture!r}; known: "
+                f"{sorted(set(_DECODERS))}"
+            )
+        enc_cls, enc_kw = encoder_spec(self.backbone)
+        if self.remat:
+            # rematerialize encoder activations in backward (HBM for FLOPs)
+            enc_cls = nn.remat(enc_cls, static_argnums=(2,))
+        dec_cls = _DECODERS[arch]
+
+        x = x.astype(self.dtype)
+        feats = enc_cls(**enc_kw, dtype=self.dtype, name="encoder")(x, train)
+        y = dec_cls(dtype=self.dtype, name="decoder")(feats, train)
+        if self.dropout > 0:
+            y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        logits = nn.Conv(self.classes, (1, 1), dtype=jnp.float32,
+                         name="logits_conv")(y.astype(jnp.float32))
+        return logits
+
+
+def create_model(architecture: str, backbone: str, classes: int = 1,
+                 dropout: float = 0.0, dtype: str = "bfloat16",
+                 remat: bool = False) -> SegmentationModel:
+    jdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+              "float16": jnp.float16}[dtype]
+    return SegmentationModel(
+        architecture=architecture,
+        backbone=backbone,
+        classes=classes,
+        dropout=dropout,
+        dtype=jdtype,
+        remat=remat,
+    )
+
+
+def model_from_config(cfg) -> SegmentationModel:
+    return create_model(
+        architecture=cfg.architecture,
+        backbone=cfg.backbone,
+        classes=cfg.classes,
+        dropout=cfg.dropout,
+        dtype=cfg.dtype,
+        remat=cfg.remat,
+    )
+
+
+def init_model(model: SegmentationModel, shape, seed: int = 0):
+    """Initialize variables for input (1, H, W, C)."""
+    rng = jax.random.PRNGKey(seed)
+    x = jnp.zeros((1, *shape), jnp.float32)
+    return model.init({"params": rng, "dropout": rng}, x, train=False)
+
+
+def apply_activation(logits, activation: str):
+    if activation == "softmax":
+        return jax.nn.softmax(logits, axis=-1)
+    if activation == "sigmoid":
+        return jax.nn.sigmoid(logits)
+    return logits

@@ -1,0 +1,112 @@
+"""Shared building blocks for the Flax model zoo.
+
+TPU-native conventions used throughout the zoo:
+  * NHWC layout (XLA:TPU's native conv layout — channels on the lane dim).
+  * Parameters live in float32; compute dtype is configurable (bfloat16 by
+    default) so convs hit the MXU at full rate.
+  * Upsampling is `jax.image.resize` (+ conv) rather than transposed convs —
+    resize lowers to cheap XLA ops, avoids checkerboard artifacts, and lets
+    XLA fuse the following conv.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class ConvBN(nn.Module):
+    """Conv → BatchNorm → (optional) activation."""
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    use_bias: bool = False
+    act: Optional[Callable] = nn.relu
+    dtype: Dtype = jnp.bfloat16
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    name_prefix: str = ""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            padding="SAME",
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name=f"{self.name_prefix}conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+            name=f"{self.name_prefix}bn",
+        )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class SEBlock(nn.Module):
+    """Squeeze-and-excitation (Hu et al. 2018) — used by SE-ResNet/EfficientNet."""
+
+    reduced: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.reduced, (1, 1), dtype=self.dtype, name="reduce")(s)
+        s = nn.swish(s)
+        s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(s)
+        return x * jax.nn.sigmoid(s)
+
+
+def resize_to(x, h: int, w: int, method: str = "nearest"):
+    """Resize NHWC batch to (h, w); static shapes keep XLA happy."""
+    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method=method)
+
+
+def upsample2x(x, method: str = "nearest"):
+    return resize_to(x, x.shape[1] * 2, x.shape[2] * 2, method)
+
+
+def round_filters(filters: float, multiplier: float, divisor: int = 8) -> int:
+    """EfficientNet-style width scaling to hardware-friendly multiples."""
+    f = filters * multiplier
+    new_f = max(divisor, int(f + divisor / 2) // divisor * divisor)
+    if new_f < 0.9 * f:
+        new_f += divisor
+    return int(new_f)
+
+
+def round_repeats(repeats: int, multiplier: float) -> int:
+    import math
+
+    return int(math.ceil(repeats * multiplier))
+
+
+class DropPath(nn.Module):
+    """Stochastic depth (per-example residual drop), EfficientNet-style."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, 1))
+        return x * mask.astype(x.dtype) / keep
