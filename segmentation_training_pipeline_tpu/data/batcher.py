@@ -1,0 +1,155 @@
+"""Host-side batch assembly + device prefetch.
+
+The reference's generator hot loop (SURVEY.md §3.5: imread → cv2.resize →
+imgaug in worker processes → float cast) is the classic input bottleneck.
+TPU-native split of responsibilities:
+
+  host   : decode + resize to the static config shape + stack **uint8**
+           (4x smaller on the PCIe/ICI wire than float32)
+  device : augmentation + normalize + one-hot — fused XLA/Pallas ops inside
+           the jitted step (see ops/aug/)
+
+Batches are produced by a background thread into a bounded queue and
+``jax.device_put`` with the mesh sharding — double-buffered so the host
+stays ahead of the device (reference's `fit_generator` workers, re-done
+without pickling processes).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from .datasets import DataSet
+
+
+def prepare_image(x: np.ndarray, shape) -> np.ndarray:
+    """HWC uint8 at the config shape (resize on host via cv2)."""
+    import cv2
+
+    h, w, c = shape
+    if x.ndim == 2:
+        x = x[:, :, None]
+    if x.shape[-1] == 1 and c == 3:
+        x = np.repeat(x, 3, axis=-1)
+    elif x.shape[-1] == 3 and c == 1:
+        x = x.mean(axis=-1, keepdims=True)
+    if x.shape[:2] != (h, w):
+        x = cv2.resize(x, (w, h), interpolation=cv2.INTER_LINEAR)
+        if x.ndim == 2:
+            x = x[:, :, None]
+    if x.dtype != np.uint8:
+        x = np.clip(x, 0, 255).astype(np.uint8) if x.max() > 1.5 else (
+            np.clip(x, 0, 1) * 255
+        ).astype(np.uint8)
+    return x
+
+
+def prepare_mask(y: Optional[np.ndarray], shape, classes: int,
+                 activation: str) -> np.ndarray:
+    """HW[C] mask → (H, W, classes) float32 in {0, 1}.
+
+    Accepts binary {0,1}/{0,255} masks, per-class channel stacks, or
+    integer class-index maps (softmax mode).  Nearest-neighbor resize keeps
+    labels crisp (imgaug's segmentation-map convention).
+    """
+    import cv2
+
+    h, w, _ = shape
+    if y is None:
+        return np.zeros((h, w, classes), np.float32)
+    y = np.asarray(y)
+    if y.ndim == 3 and y.shape[-1] == 1:
+        y = y[:, :, 0]
+    if y.ndim == 2:
+        if y.shape != (h, w):
+            y = cv2.resize(y, (w, h), interpolation=cv2.INTER_NEAREST)
+        if activation == "softmax" and classes > 1:
+            idx = y.astype(np.int64)
+            if idx.max() > classes - 1 and idx.max() > 1:  # {0,255} binary
+                idx = (idx > 127).astype(np.int64)
+            out = np.zeros((h, w, classes), np.float32)
+            np.put_along_axis(out, idx[:, :, None], 1.0, axis=-1)
+            return out
+        m = (y > 127) if y.max() > 1.5 else (y > 0.5)
+        return np.repeat(m[:, :, None].astype(np.float32), classes, axis=-1) \
+            if classes > 1 else m[:, :, None].astype(np.float32)
+    # channel-stacked per-class masks
+    if y.shape[:2] != (h, w):
+        y = cv2.resize(y.astype(np.float32), (w, h),
+                       interpolation=cv2.INTER_NEAREST)
+        if y.ndim == 2:
+            y = y[:, :, None]
+    if y.shape[-1] != classes:
+        raise ValueError(f"mask has {y.shape[-1]} channels, config classes={classes}")
+    return (y > (127 if y.max() > 1.5 else 0.5)).astype(np.float32)
+
+
+def make_batches(dataset: DataSet, indices: Sequence[int], shape, classes: int,
+                 activation: str, batch_size: int,
+                 wrap_pad: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield batches of stacked uint8 images + float32 masks.
+
+    The final partial batch wraps around to the plan's start (deterministic)
+    and reports ``n_real`` so eval can weight out the padding.
+    """
+    idx = np.asarray(indices, dtype=np.int64)
+    n = len(idx)
+    if n == 0:
+        return
+    for start in range(0, n, batch_size):
+        sel = idx[start : start + batch_size]
+        n_real = len(sel)
+        if n_real < batch_size and wrap_pad:
+            extra = idx[np.arange(batch_size - n_real) % n]
+            sel = np.concatenate([sel, extra])
+        imgs, masks = [], []
+        for i in sel:
+            item = dataset[int(i)]
+            imgs.append(prepare_image(item.x, shape))
+            masks.append(prepare_mask(item.y, shape, classes, activation))
+        yield {
+            "image": np.stack(imgs),
+            "mask": np.stack(masks),
+            "weight": (np.arange(len(sel)) < n_real).astype(np.float32),
+        }
+
+
+class Prefetcher:
+    """Background-thread batch producer + device transfer overlap."""
+
+    def __init__(self, gen_fn, mesh=None, depth: int = 2):
+        self.gen_fn = gen_fn
+        self.mesh = mesh
+        self.depth = max(1, depth)
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _SENTINEL = object()
+        err = []
+
+        def worker():
+            try:
+                for batch in self.gen_fn():
+                    if self.mesh is not None:
+                        from ..parallel.mesh import shard_batch
+
+                        batch = shard_batch(batch, self.mesh)
+                    q.put(batch)
+            except BaseException as e:  # surface worker errors to consumer
+                err.append(e)
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item

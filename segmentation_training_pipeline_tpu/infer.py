@@ -1,0 +1,265 @@
+"""Inference: flip-TTA, per-fold ensembling, directory batch prediction.
+
+Reference call stack SURVEY.md §3.3 (``predict_*_to_dir`` family): per fold
+load ``weights/best-{fold}.{stage}.weights`` → batch images → predict →
+optional flip-TTA average → mean over folds → threshold → resize back →
+PNG per input id.  This module keeps that exact surface; the compute is one
+jitted program per fold that fuses preprocessing + forward + activation
+(+ the flipped pass when TTA is on) on device — TTA costs one extra
+forward inside the same XLA program, not a second host round-trip.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import PipelineConfig
+from .data.batcher import prepare_image, prepare_mask
+from .data.datasets import DataSet, DirectoryDataSet, PredictionItem
+from .models.factory import (
+    apply_activation,
+    model_from_config,
+    template_variables,
+)
+from .ops.preprocess import preprocess
+from .train.checkpoint import load_checkpoint
+
+
+class InferenceBundle:
+    """A model + one variables pytree per requested fold + a jitted
+    (optionally TTA-fused) predict function."""
+
+    def __init__(self, cfg: PipelineConfig, folds: Sequence[int], stage: int,
+                 tta: Optional[str] = None):
+        self.cfg = cfg
+        self.model = model_from_config(cfg)
+        self.stage = stage if stage >= 0 else len(cfg.stages) - 1
+        self.folds = list(folds)
+        # cheap existence check BEFORE the (expensive) model init
+        for f in self.folds:
+            path = cfg.weights_path(f, self.stage)
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"no checkpoint for fold {f} stage {self.stage}: {path}")
+        template = template_variables(self.model, cfg.shape)
+        self.fold_vars = [
+            load_checkpoint(cfg.weights_path(f, self.stage), template)
+            for f in self.folds
+        ]
+        self.tta = tta if tta is not None else (
+            "flip" if cfg.flipPred else cfg.testTimeAugmentation)
+        self._predict = self._build()
+
+    def _build(self):
+        model, cfg, tta = self.model, self.cfg, self.tta
+
+        def fwd(variables, x):
+            logits = model.apply(variables, x, train=False)
+            return apply_activation(logits, cfg.activation)
+
+        def _step(variables, images):
+            x = preprocess(images, cfg.preprocessing or "tf", model.dtype)
+            p = fwd(variables, x)
+            if tta in ("flip", "hflip", True):
+                p = (p + fwd(variables, x[:, :, ::-1, :])[:, :, ::-1, :]) / 2.0
+            elif tta in ("flips", "d4_subset", "hvflip"):
+                acc = p
+                acc = acc + fwd(variables, x[:, :, ::-1, :])[:, :, ::-1, :]
+                acc = acc + fwd(variables, x[:, ::-1, :, :])[:, ::-1, :, :]
+                acc = acc + fwd(variables, x[:, ::-1, ::-1, :])[:, ::-1, ::-1, :]
+                p = acc / 4.0
+            return p
+
+        return jax.jit(_step)
+
+    def predict_probs(self, images_u8: np.ndarray) -> np.ndarray:
+        """(B, H, W, C) uint8 at config shape → fold-ensembled probs (f32)."""
+        acc = None
+        for variables in self.fold_vars:
+            p = self._predict(variables, images_u8)
+            acc = p if acc is None else acc + p
+        return np.asarray(acc / len(self.fold_vars), dtype=np.float32)
+
+
+def _resolve_folds(cfg: PipelineConfig, folds, stage: int) -> List[int]:
+    if folds is not None:
+        return list(folds) if not isinstance(folds, int) else [folds]
+    st = stage if stage >= 0 else len(cfg.stages) - 1
+    found = [f for f in range(cfg.folds_count)
+             if os.path.exists(cfg.weights_path(f, st))]
+    if not found:
+        raise FileNotFoundError(
+            f"no trained fold checkpoints for stage {st} under {cfg.weights_dir}")
+    return found
+
+
+def load_model(cfg: PipelineConfig, fold: Union[int, Sequence[int]] = 0,
+               stage: int = -1) -> InferenceBundle:
+    folds = [fold] if isinstance(fold, int) else list(fold)
+    return InferenceBundle(cfg, folds, stage)
+
+
+# ---------------------------------------------------------------------------
+# crops: N×N tile split + stitch (reference `crops:` config — SURVEY §5)
+# ---------------------------------------------------------------------------
+
+def _predict_full_image(bundle: InferenceBundle, batch_items: List[np.ndarray],
+                        batch_size: int) -> List[np.ndarray]:
+    """Predict a list of HWC uint8 images (any sizes) → per-image prob maps
+    at ORIGINAL sizes, honoring cfg.crops tiling."""
+    import cv2
+
+    cfg = bundle.cfg
+    h, w, _ = cfg.shape
+    crops = cfg.crops or 1
+
+    # build the (image_idx, tile_row, tile_col, tile_box) work list
+    work = []
+    for i, img in enumerate(batch_items):
+        H, W = img.shape[:2]
+        if crops == 1:
+            work.append((i, 0, 0, (0, 0, H, W)))
+        else:
+            hs = np.linspace(0, H, crops + 1).astype(int)
+            ws = np.linspace(0, W, crops + 1).astype(int)
+            for r in range(crops):
+                for c in range(crops):
+                    work.append((i, r, c, (hs[r], ws[c], hs[r + 1], ws[c + 1])))
+
+    outs: List[Optional[np.ndarray]] = [None] * len(batch_items)
+    for i, img in enumerate(batch_items):
+        outs[i] = np.zeros((*img.shape[:2], cfg.classes), np.float32)
+
+    for start in range(0, len(work), batch_size):
+        chunk = work[start : start + batch_size]
+        tiles = []
+        for (i, r, c, (y0, x0, y1, x1)) in chunk:
+            tiles.append(prepare_image(batch_items[i][y0:y1, x0:x1], cfg.shape))
+        arr = np.stack(tiles)
+        if len(chunk) < batch_size:  # pad to the jitted static batch
+            arr = np.concatenate(
+                [arr, np.zeros((batch_size - len(chunk), *arr.shape[1:]),
+                               arr.dtype)])
+        probs = bundle.predict_probs(arr)
+        for k, (i, r, c, (y0, x0, y1, x1)) in enumerate(chunk):
+            tile_p = cv2.resize(probs[k], (x1 - x0, y1 - y0),
+                                interpolation=cv2.INTER_LINEAR)
+            if tile_p.ndim == 2:
+                tile_p = tile_p[:, :, None]
+            outs[i][y0:y1, x0:x1] = tile_p
+    return outs  # type: ignore[return-value]
+
+
+# ---------------------------------------------------------------------------
+# public prediction surface
+# ---------------------------------------------------------------------------
+
+def predict_on_dataset(cfg: PipelineConfig, dataset: DataSet,
+                       folds=None, stage: int = -1, batch_size: Optional[int] = None,
+                       ttflips=None) -> Iterator[PredictionItem]:
+    """Yield PredictionItems with ``.prediction`` filled (probs at original
+    image size, fold-ensembled, TTA per config)."""
+    folds = _resolve_folds(cfg, folds, stage)
+    bundle = InferenceBundle(cfg, folds, stage,
+                             tta=ttflips if ttflips is not None else None)
+    bs = batch_size or cfg.batch
+    buf_items: List[PredictionItem] = []
+
+    def flush():
+        probs = _predict_full_image(bundle, [it.x for it in buf_items], bs)
+        for it, p in zip(buf_items, probs):
+            it.prediction = p
+            yield it
+        buf_items.clear()
+
+    for i in range(len(dataset)):
+        buf_items.append(dataset[i])
+        if len(buf_items) >= bs:
+            yield from flush()
+    if buf_items:
+        yield from flush()
+
+
+def predict_all_to_dir(cfg: PipelineConfig, src, dst: str, folds=None,
+                       stage: int = -1, threshold: Optional[float] = None,
+                       batch_size: Optional[int] = None, ttflips=None) -> int:
+    """Directory (or DataSet) → PNG masks in ``dst``.  Returns file count.
+
+    Binary/sigmoid: 0/255 mask PNG per class-0 channel.  Softmax: argmax
+    class-index PNG.  Matches the reference's threshold+PNG contract
+    (SURVEY §3.3).
+    """
+    import cv2
+
+    ds = DirectoryDataSet(src) if isinstance(src, str) else src
+    os.makedirs(dst, exist_ok=True)
+    thr = cfg.threshold if threshold is None else threshold
+    n = 0
+    for item in predict_on_dataset(cfg, ds, folds=folds, stage=stage,
+                                   batch_size=batch_size, ttflips=ttflips):
+        p = item.prediction
+        if cfg.activation == "softmax" and cfg.classes > 1:
+            mask = np.argmax(p, axis=-1).astype(np.uint8)
+        else:
+            mask = ((p[:, :, 0] >= thr) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(dst, f"{item.id}.png"), mask)
+        n += 1
+    return n
+
+
+def _np_metric(name: str, y: np.ndarray, p: np.ndarray, activation: str,
+               threshold: float = 0.5) -> float:
+    """Host-side (numpy) metric math — per-item eval must not dispatch tiny
+    device ops (each would be a device round-trip per image)."""
+    eps = 1e-7
+    if activation == "softmax" and p.shape[-1] > 1:
+        hard = (p == p.max(axis=-1, keepdims=True)).astype(np.float32)
+    else:
+        hard = (p >= threshold).astype(np.float32)
+    t = np.round(y).astype(np.float32)
+    inter = float((hard * t).sum())
+    key = name.lower().replace("val_", "")
+    if key in ("iou", "iou_score", "jaccard_score"):
+        union = float(hard.sum() + t.sum()) - inter
+        return (inter + eps) / (union + eps)
+    if key in ("dice", "dice_score", "f1_score", "f1-score"):
+        return (2 * inter + eps) / (float(hard.sum() + t.sum()) + eps)
+    if key in ("binary_accuracy", "accuracy", "acc", "categorical_accuracy"):
+        if activation == "softmax" and p.shape[-1] > 1:
+            return float((np.argmax(p, -1) == np.argmax(y, -1)).mean())
+        return float((hard == t).mean())
+    if key == "precision":
+        return (inter + eps) / (float(hard.sum()) + eps)
+    if key == "recall":
+        return (inter + eps) / (float(t.sum()) + eps)
+    raise KeyError(f"metric {name!r} not supported in host evaluate")
+
+
+def evaluate(cfg: PipelineConfig, dataset: DataSet, folds=None,
+             stage: int = -1, batch_size: Optional[int] = None,
+             threshold: Optional[float] = None) -> Dict[str, float]:
+    """Dataset-level metrics with the full inference pipeline (TTA +
+    ensembling) at original image sizes.  Reference ``cfg.evaluate…``
+    family.  Metric math runs on host numpy (predictions are already on
+    host); the device only runs the batched predict program."""
+    names = list(cfg.metrics) or ["iou", "dice"]
+    thr = cfg.threshold if threshold is None else threshold
+    sums = {nm: 0.0 for nm in names}
+    count = 0
+    for item in predict_on_dataset(cfg, dataset, folds=folds, stage=stage,
+                                   batch_size=batch_size):
+        if item.y is None:
+            continue
+        y = prepare_mask(item.y, (*item.prediction.shape[:2], 3),
+                         cfg.classes, cfg.activation)
+        for nm in names:
+            sums[nm] += _np_metric(nm, y, item.prediction, cfg.activation, thr)
+        count += 1
+    if count == 0:
+        return {}
+    return {nm: s / count for nm, s in sums.items()}

@@ -103,10 +103,27 @@ def model_from_config(cfg) -> SegmentationModel:
 
 
 def init_model(model: SegmentationModel, shape, seed: int = 0):
-    """Initialize variables for input (1, H, W, C)."""
+    """Initialize variables for input (1, H, W, C) — one jitted program
+    (eager init dispatches hundreds of tiny ops; on remote-compile TPU
+    setups that costs minutes)."""
     rng = jax.random.PRNGKey(seed)
     x = jnp.zeros((1, *shape), jnp.float32)
-    return model.init({"params": rng, "dropout": rng}, x, train=False)
+    init = jax.jit(lambda r, xx: model.init({"params": r, "dropout": r},
+                                            xx, train=False))
+    return init(rng, x)
+
+
+def template_variables(model: SegmentationModel, shape):
+    """Zero-compute variables pytree (host numpy zeros) for checkpoint
+    restore — structure/shape/dtype only, via eval_shape."""
+    import numpy as np
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.ShapeDtypeStruct((1, *shape), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda r, xx: model.init({"params": r, "dropout": r}, xx, train=False),
+        rng, x)
+    return jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
 
 
 def apply_activation(logits, activation: str):

@@ -1,0 +1,208 @@
+"""YAML ``augmentation:`` block → one fused on-device aug function.
+
+The reference resolves augmenter names to imgaug objects and runs them as
+host multiprocess passes (SURVEY §2a 'Config loader', §3.5).  Here the
+block *compiles*: geometric augmenters fold into a single per-image inverse
+affine (+ optional elastic displacement field), executed as ONE warp for
+images (bilinear) and masks (nearest); photometric augmenters fuse
+elementwise after.  The whole thing runs inside the jitted train step.
+
+Parameter semantics (imgaug-compatible where YAML can express it):
+  * scalar           → deterministic value (probability for Fliplr/Flipud)
+  * [lo, hi]         → uniform sample per image (imgaug tuple-range)
+  * [a, b, c, ...]   → uniform choice per image (imgaug list)
+  * {x: ..., y: ...} → independent per-axis parameters (Affine scale/translate)
+Documented deviations: Rot90/CropToFixedSize keep the static output shape
+(resize back) because XLA requires static shapes; 2-element YAML lists are
+always ranges (YAML cannot distinguish imgaug's tuple vs list).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import photometric as ph
+from . import warp as W
+
+Array = jax.Array
+
+_GEOMETRIC = {"fliplr", "horizontalflip", "flipud", "verticalflip", "rot90",
+              "affine", "crop", "croptofixedsize", "randomcrop",
+              "elastictransformation", "elastictransform", "elastic"}
+
+
+def _sample(rng: Array, spec: Any, b: int, default: float = 0.0) -> Array:
+    """Lower one parameter spec to a (B,) float32 sample."""
+    if spec is None:
+        return jnp.full((b,), default, jnp.float32)
+    if isinstance(spec, (int, float)):
+        return jnp.full((b,), float(spec), jnp.float32)
+    if isinstance(spec, (list, tuple)):
+        vals = [float(v) for v in spec]
+        if len(vals) == 2:
+            return jax.random.uniform(rng, (b,), minval=vals[0], maxval=vals[1])
+        arr = jnp.asarray(vals, jnp.float32)
+        idx = jax.random.randint(rng, (b,), 0, len(vals))
+        return arr[idx]
+    raise ValueError(f"cannot lower augmentation parameter {spec!r}")
+
+
+def _sample_xy(rng: Array, spec: Any, b: int, default: float) -> Tuple[Array, Array]:
+    if isinstance(spec, dict):
+        kx, ky = jax.random.split(rng)
+        return (_sample(kx, spec.get("x"), b, default),
+                _sample(ky, spec.get("y"), b, default))
+    v = _sample(rng, spec, b, default)
+    return v, v
+
+
+def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
+    """specs: [{"name": ..., "args": ...}] (config-normalized) →
+    ``aug_fn(rng, images_u8, masks) -> (images_f32_0..255, masks)``."""
+    geo = [s for s in specs if s["name"].lower() in _GEOMETRIC]
+    photo = [s for s in specs if s["name"].lower() not in _GEOMETRIC]
+
+    def aug_fn(rng: Array, images: Array, masks: Array):
+        b, h, w = images.shape[0], images.shape[1], images.shape[2]
+        cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+        keys = list(jax.random.split(rng, len(specs) + 2))
+        mats = W.identity_mats(b)
+        disp: Optional[Tuple[Array, Array]] = None
+
+        for i, s in enumerate(geo):
+            name = s["name"].lower()
+            args = s.get("args")
+            k = keys[i]
+            if name in ("fliplr", "horizontalflip"):
+                p = float(args) if isinstance(args, (int, float)) else \
+                    float((args or {}).get("p", 0.5))
+                flips = jax.random.bernoulli(k, p, (b,))
+                mats = W.compose(W.hflip(w, flips), mats)
+            elif name in ("flipud", "verticalflip"):
+                p = float(args) if isinstance(args, (int, float)) else \
+                    float((args or {}).get("p", 0.5))
+                flips = jax.random.bernoulli(k, p, (b,))
+                mats = W.compose(W.vflip(h, flips), mats)
+            elif name == "rot90":
+                kk = args if args is not None else [0, 3]
+                spec_k = kk.get("k") if isinstance(kk, dict) else kk
+                if isinstance(spec_k, (list, tuple)) and len(spec_k) == 2:
+                    ks = jax.random.randint(k, (b,), int(spec_k[0]),
+                                            int(spec_k[1]) + 1)
+                elif isinstance(spec_k, (list, tuple)):
+                    arr = jnp.asarray([int(v) for v in spec_k], jnp.int32)
+                    ks = arr[jax.random.randint(k, (b,), 0, len(spec_k))]
+                else:
+                    ks = jnp.full((b,), int(spec_k), jnp.int32)
+                mats = W.compose(W.rot90s(h, w, ks), mats)
+            elif name == "affine":
+                a = args or {}
+                k1, k2, k3, k4 = jax.random.split(k, 4)
+                sx, sy = _sample_xy(k1, a.get("scale"), b, 1.0)
+                mats = W.compose(W.scale_about(cx, cy, sx, sy), mats)
+                if "translate_percent" in a:
+                    tx, ty = _sample_xy(k2, a["translate_percent"], b, 0.0)
+                    tx, ty = tx * w, ty * h
+                else:
+                    tx, ty = _sample_xy(k2, a.get("translate_px"), b, 0.0)
+                # inverse translation: src = dst - t
+                mats = W.compose(W.translation(-tx, -ty), mats)
+                rot = _sample(k3, a.get("rotate"), b, 0.0) * (jnp.pi / 180.0)
+                mats = W.compose(W.rotation_about(cx, cy, rot), mats)
+                shear = a.get("shear")
+                shx, shy = _sample_xy(k4, shear, b, 0.0)
+                shx = shx * (jnp.pi / 180.0)
+                shy = shy * (jnp.pi / 180.0) if isinstance(shear, dict) else \
+                    jnp.zeros_like(shy)
+                mats = W.compose(W.shear_about(cx, cy, shx, shy), mats)
+            elif name in ("crop",):
+                a = args or {}
+                pct = a.get("percent", a if not isinstance(a, dict) else [0, 0.1])
+                k1, k2, k3, k4 = jax.random.split(k, 4)
+                left = _sample(k1, pct, b, 0.0)
+                right = _sample(k2, pct, b, 0.0)
+                top = _sample(k3, pct, b, 0.0)
+                bot = _sample(k4, pct, b, 0.0)
+                m = W.identity_mats(b)
+                m = m.at[:, 0, 0].set(1.0 - left - right)
+                m = m.at[:, 1, 1].set(1.0 - top - bot)
+                m = m.at[:, 0, 2].set(left * w)
+                m = m.at[:, 1, 2].set(top * h)
+                mats = W.compose(m, mats)
+            elif name in ("croptofixedsize", "randomcrop"):
+                a = args or {}
+                ch = float(a.get("height", h)) / h
+                cw = float(a.get("width", w)) / w
+                k1, k2 = jax.random.split(k)
+                offx = jax.random.uniform(k1, (b,)) * (1.0 - cw)
+                offy = jax.random.uniform(k2, (b,)) * (1.0 - ch)
+                m = W.identity_mats(b)
+                m = m.at[:, 0, 0].set(cw)
+                m = m.at[:, 1, 1].set(ch)
+                m = m.at[:, 0, 2].set(offx * w)
+                m = m.at[:, 1, 2].set(offy * h)
+                mats = W.compose(m, mats)
+            elif name in ("elastictransformation", "elastictransform", "elastic"):
+                a = args or {}
+                k1, k2, k3 = jax.random.split(k, 3)
+                alpha = _sample(k1, a.get("alpha", 20.0), b)
+                sigma = _sample(k2, a.get("sigma", 5.0), b)
+                radius = int(max(4, 2 * float(jnp.max(jnp.asarray(
+                    a.get("sigma", 5.0))).item() if not isinstance(
+                    a.get("sigma", 5.0), (int, float))
+                    else a.get("sigma", 5.0))))
+                dx, dy = W.elastic_field(k3, b, h, w, alpha, sigma, radius)
+                if disp is None:
+                    disp = (dx, dy)
+                else:
+                    disp = (disp[0] + dx, disp[1] + dy)
+
+        imgs = images.astype(jnp.float32)
+        any_geo = len(geo) > 0
+        if any_geo:
+            imgs = W.warp(imgs, mats, disp, method="bilinear")
+            masks = W.warp(masks, mats, disp, method="nearest")
+
+        for j, s in enumerate(photo):
+            name = s["name"].lower()
+            args = s.get("args")
+            k = keys[len(geo) + j]
+            if name == "multiply":
+                a = args if not isinstance(args, dict) else args.get("mul", 1.0)
+                imgs = ph.multiply(imgs, _sample(k, a, b, 1.0))
+            elif name == "add":
+                a = args if not isinstance(args, dict) else args.get("value", 0.0)
+                imgs = ph.add(imgs, _sample(k, a, b, 0.0))
+            elif name in ("linearcontrast", "contrastnormalization"):
+                a = args if not isinstance(args, dict) else args.get("alpha", 1.0)
+                imgs = ph.linear_contrast(imgs, _sample(k, a, b, 1.0))
+            elif name == "additivegaussiannoise":
+                a = args if not isinstance(args, dict) else args.get("scale", 0.0)
+                k1, k2 = jax.random.split(k)
+                imgs = ph.gaussian_noise(k2, imgs, _sample(k1, a, b, 0.0))
+            elif name == "gaussianblur":
+                a = args if not isinstance(args, dict) else args.get("sigma", 0.0)
+                imgs = ph.gaussian_blur(imgs, _sample(k, a, b, 0.0))
+            elif name in ("coarsedropout", "cutout"):
+                a = args or {}
+                if isinstance(a, (int, float, list, tuple)):
+                    p_spec, size = a, 0.1
+                else:
+                    p_spec = a.get("p", 0.05)
+                    size = float(a.get("size_percent", 0.1))
+                k1, k2 = jax.random.split(k)
+                imgs = ph.coarse_dropout(k2, imgs, _sample(k1, p_spec, b),
+                                         size_frac=size)
+            elif name == "grayscale":
+                a = args if not isinstance(args, dict) else args.get("alpha", 1.0)
+                imgs = ph.grayscale(imgs, _sample(k, a, b, 1.0))
+            else:
+                raise KeyError(f"augmenter {s['name']!r} has no lowering")
+
+        imgs = jnp.clip(imgs, 0.0, 255.0)
+        return imgs, masks
+
+    return aug_fn

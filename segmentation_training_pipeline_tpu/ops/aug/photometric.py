@@ -1,0 +1,83 @@
+"""Photometric (pixel-value) augmenters — image-only, mask untouched.
+
+All run fused-elementwise on device after the geometric warp; each takes
+per-image parameters shaped (B,) (or (B, 1) for per-channel variants) so
+one XLA program covers the whole batch.  Value semantics follow imgaug's
+uint8 conventions (operate in 0..255 space, clip at the end).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def multiply(images: Array, factor: Array) -> Array:
+    return images * factor[:, None, None, None]
+
+
+def add(images: Array, value: Array) -> Array:
+    return images + value[:, None, None, None]
+
+
+def linear_contrast(images: Array, alpha: Array) -> Array:
+    # imgaug LinearContrast: 127 + alpha * (v - 127)
+    a = alpha[:, None, None, None]
+    return 127.0 + a * (images - 127.0)
+
+
+def gaussian_noise(rng: Array, images: Array, scale: Array) -> Array:
+    noise = jax.random.normal(rng, images.shape, jnp.float32)
+    return images + noise * scale[:, None, None, None]
+
+
+def grayscale(images: Array, alpha: Array) -> Array:
+    """Blend toward ITU-R 601 luminance by per-image alpha."""
+    if images.shape[-1] != 3:
+        return images
+    lum = (0.299 * images[..., 0] + 0.587 * images[..., 1]
+           + 0.114 * images[..., 2])[..., None]
+    a = alpha[:, None, None, None]
+    return (1.0 - a) * images + a * lum
+
+
+def gaussian_blur(images: Array, sigma: Array, radius: int = 3) -> Array:
+    """Separable per-image gaussian blur; sigma (B,).  sigma≈0 degenerates
+    to (numerically) the identity kernel, so 'no blur' costs only the fused
+    conv — no data-dependent branch."""
+    b, h, w, c = images.shape
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x[None, :] / jnp.maximum(sigma[:, None], 1e-3)) ** 2)
+    k = k / k.sum(axis=1, keepdims=True)  # (B, K)
+
+    def blur_one(img, kern):  # img (H, W, C)
+        pad = jnp.pad(img, ((0, 0), (radius, radius), (0, 0)), mode="reflect")
+        horiz = jax.lax.conv_general_dilated(
+            pad[None], jnp.tile(kern[None, :, None, None], (1, 1, 1, c)),
+            (1, 1), "VALID", feature_group_count=c,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+        pad2 = jnp.pad(horiz, ((radius, radius), (0, 0), (0, 0)), mode="reflect")
+        vert = jax.lax.conv_general_dilated(
+            pad2[None], jnp.tile(kern[:, None, None, None], (1, 1, 1, c)),
+            (1, 1), "VALID", feature_group_count=c,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+        return vert
+
+    return jax.vmap(blur_one)(images, k)
+
+
+def coarse_dropout(rng: Array, images: Array, p: Array,
+                   size_frac: float = 0.1) -> Array:
+    """imgaug CoarseDropout: drop rectangles covering ~p of a coarse grid.
+    A low-res bernoulli mask is nearest-upsampled over the image (all
+    channels), giving blocky cutout regions."""
+    b, h, w, c = images.shape
+    gh = max(1, int(round(h * size_frac)))
+    gw = max(1, int(round(w * size_frac)))
+    keep = jax.random.uniform(rng, (b, gh, gw, 1)) >= p[:, None, None, None]
+    mask = jax.image.resize(keep.astype(jnp.float32), (b, h, w, 1), "nearest")
+    return images * mask

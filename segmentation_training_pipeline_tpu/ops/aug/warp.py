@@ -1,0 +1,248 @@
+"""Fused inverse-warp: the core of the on-device augmentation engine.
+
+TPU-native design (BASELINE north-star: "imgaug-style augmentation block
+lowers to fused image kernels executed on-device inside the input
+pipeline"): instead of running N sequential imgaug ops on the host (each a
+full image pass — the reference's input bottleneck, SURVEY §3.5), every
+geometric augmenter contributes to a single per-image 3×3 **inverse** affine
+matrix; elastic deformation adds a smoothed displacement field; then ONE
+sampling pass applies the whole chain:
+
+    out[b, i, j] = img[b, A_b·(j, i, 1) + D_b[i, j]]
+
+Bilinear samples for images, nearest for masks — from the *same*
+coordinates, so the mask always receives exactly the image's transform
+(imgaug's joint image+segmentation-map guarantee, by construction).
+
+The gather is expressed as `jnp.take` over flattened (H*W) indices, which
+XLA:TPU lowers to an efficient dynamic-gather; a Pallas specialization for
+the common flip/rot90-only path lives in pallas_kernels.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# affine matrix algebra (3x3 homogeneous, (x, y) convention: x = col, y = row)
+# ---------------------------------------------------------------------------
+
+def identity_mats(b: int) -> Array:
+    return jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (b, 3, 3))
+
+
+def compose(m_new: Array, m_acc: Array) -> Array:
+    """Apply ``m_new`` AFTER ``m_acc`` in forward order — for inverse
+    matrices this means right-multiplying: inv(N·A) = inv(A)·inv(N)."""
+    return jnp.einsum("bij,bjk->bik", m_acc, m_new)
+
+
+def translation(tx: Array, ty: Array) -> Array:
+    b = tx.shape[0]
+    m = identity_mats(b)
+    m = m.at[:, 0, 2].set(tx)
+    m = m.at[:, 1, 2].set(ty)
+    return m
+
+
+def scale_about(cx: float, cy: float, sx: Array, sy: Array) -> Array:
+    """Inverse scale about (cx, cy): src = c + (dst - c) / s."""
+    b = sx.shape[0]
+    m = identity_mats(b)
+    inv_sx, inv_sy = 1.0 / sx, 1.0 / sy
+    m = m.at[:, 0, 0].set(inv_sx)
+    m = m.at[:, 1, 1].set(inv_sy)
+    m = m.at[:, 0, 2].set(cx * (1.0 - inv_sx))
+    m = m.at[:, 1, 2].set(cy * (1.0 - inv_sy))
+    return m
+
+
+def rotation_about(cx: float, cy: float, theta: Array) -> Array:
+    """Inverse of a rotation by ``theta`` (radians, CCW in image coords)
+    about the center: rotate by -theta."""
+    b = theta.shape[0]
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    m = identity_mats(b)
+    m = m.at[:, 0, 0].set(c)
+    m = m.at[:, 0, 1].set(s)
+    m = m.at[:, 1, 0].set(-s)
+    m = m.at[:, 1, 1].set(c)
+    tx = cx - c * cx - s * cy
+    ty = cy + s * cx - c * cy
+    m = m.at[:, 0, 2].set(tx)
+    m = m.at[:, 1, 2].set(ty)
+    return m
+
+
+def shear_about(cx: float, cy: float, shx: Array, shy: Array) -> Array:
+    """Inverse shear (x-shear by shx rad, y-shear by shy rad) about center."""
+    b = shx.shape[0]
+    tx_ = jnp.tan(shx)
+    ty_ = jnp.tan(shy)
+    det = 1.0 - tx_ * ty_
+    a00 = 1.0 / det
+    a01 = -tx_ / det
+    a10 = -ty_ / det
+    a11 = 1.0 / det
+    m = identity_mats(b)
+    m = m.at[:, 0, 0].set(a00)
+    m = m.at[:, 0, 1].set(a01)
+    m = m.at[:, 1, 0].set(a10)
+    m = m.at[:, 1, 1].set(a11)
+    m = m.at[:, 0, 2].set(cx - a00 * cx - a01 * cy)
+    m = m.at[:, 1, 2].set(cy - a10 * cx - a11 * cy)
+    return m
+
+
+def hflip(w: int, flip: Array) -> Array:
+    """Conditional horizontal flip (x' = W-1-x); ``flip`` is (B,) {0,1}."""
+    b = flip.shape[0]
+    f = flip.astype(jnp.float32)
+    m = identity_mats(b)
+    m = m.at[:, 0, 0].set(1.0 - 2.0 * f)
+    m = m.at[:, 0, 2].set(f * (w - 1.0))
+    return m
+
+
+def vflip(h: int, flip: Array) -> Array:
+    b = flip.shape[0]
+    f = flip.astype(jnp.float32)
+    m = identity_mats(b)
+    m = m.at[:, 1, 1].set(1.0 - 2.0 * f)
+    m = m.at[:, 1, 2].set(f * (h - 1.0))
+    return m
+
+
+def rot90s(h: int, w: int, k: Array) -> Array:
+    """Inverse of rot90 applied k∈{0,1,2,3} times (CCW, square or not —
+    note non-square rot90 keeps the output shape, i.e. it is rot90 +
+    resize, documented deviation from imgaug's shape-changing Rot90)."""
+    b = k.shape[0]
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    theta = k.astype(jnp.float32) * (jnp.pi / 2.0)
+    # scale correction for non-square: odd k swaps axes
+    odd = (k % 2 == 1).astype(jnp.float32)
+    sx = 1.0 + odd * ((w / h) - 1.0)
+    sy = 1.0 + odd * ((h / w) - 1.0)
+    m = rotation_about(cx, cy, theta)
+    return compose(scale_about(cx, cy, sx, sy), m)
+
+
+# ---------------------------------------------------------------------------
+# elastic displacement field (Simard et al. 2003)
+# ---------------------------------------------------------------------------
+
+def _gaussian_kernel1d(sigma: Array, radius: int) -> Array:
+    """(B, 2r+1) normalized gaussian taps for per-image sigma (traced)."""
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x[None, :] / jnp.maximum(sigma[:, None], 1e-3)) ** 2)
+    return k / k.sum(axis=1, keepdims=True)
+
+
+def smooth_field(field: Array, sigma: Array, radius: int = 8) -> Array:
+    """Separable per-image gaussian blur of (B, H, W) via two depthwise
+    convs — O(H·W·r) instead of a dense 2-D kernel."""
+    b, h, w = field.shape
+    k = _gaussian_kernel1d(sigma, radius)  # (B, K)
+    K = 2 * radius + 1
+
+    # horizontal pass: treat rows as batch, use conv_general_dilated per image
+    def blur1(img, kern):
+        # img (H, W); kern (K,)
+        pad = jnp.pad(img, ((0, 0), (radius, radius)), mode="reflect")
+        out = jax.lax.conv_general_dilated(
+            pad[None, :, :, None], kern[:, None, None, None],
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0, :, :, 0]
+        return out
+
+    fx = jax.vmap(blur1)(field, k)                       # along W
+    fy = jax.vmap(lambda im, kern: blur1(im.T, kern).T)(fx, k)  # along H
+    return fy
+
+
+def elastic_field(rng: Array, b: int, h: int, w: int, alpha: Array,
+                  sigma: Array, radius: int = 8) -> Tuple[Array, Array]:
+    """→ (dx, dy) each (B, H, W): smoothed uniform noise scaled by alpha."""
+    kx, ky = jax.random.split(rng)
+    raw_x = jax.random.uniform(kx, (b, h, w), minval=-1.0, maxval=1.0)
+    raw_y = jax.random.uniform(ky, (b, h, w), minval=-1.0, maxval=1.0)
+    dx = smooth_field(raw_x, sigma, radius) * alpha[:, None, None]
+    dy = smooth_field(raw_y, sigma, radius) * alpha[:, None, None]
+    return dx, dy
+
+
+# ---------------------------------------------------------------------------
+# the fused sampler
+# ---------------------------------------------------------------------------
+
+def _source_coords(mats: Array, h: int, w: int,
+                   disp: Optional[Tuple[Array, Array]]) -> Tuple[Array, Array]:
+    """Output grid → source (x, y) float coords per image: (B, H, W) each."""
+    jj = jnp.arange(w, dtype=jnp.float32)[None, :]      # x (cols)
+    ii = jnp.arange(h, dtype=jnp.float32)[:, None]      # y (rows)
+    grid_x = jnp.broadcast_to(jj, (h, w))
+    grid_y = jnp.broadcast_to(ii, (h, w))
+    # x_src = a00 x + a01 y + a02 ; y_src = a10 x + a11 y + a12
+    a = mats[:, None, None, :, :]  # (B,1,1,3,3)
+    x_src = (a[..., 0, 0] * grid_x + a[..., 0, 1] * grid_y + a[..., 0, 2])
+    y_src = (a[..., 1, 0] * grid_x + a[..., 1, 1] * grid_y + a[..., 1, 2])
+    if disp is not None:
+        dx, dy = disp
+        x_src = x_src + dx
+        y_src = y_src + dy
+    return x_src, y_src
+
+
+def _gather2d(img: Array, iy: Array, ix: Array) -> Array:
+    """img (H, W, C), iy/ix (H, W) int32 → (H, W, C)."""
+    h, w = img.shape[0], img.shape[1]
+    flat = img.reshape(h * w, -1)
+    idx = (iy * w + ix).reshape(-1)
+    return jnp.take(flat, idx, axis=0).reshape(h, w, -1)
+
+
+def warp(images: Array, mats: Array,
+         disp: Optional[Tuple[Array, Array]] = None,
+         method: str = "bilinear", fill: float = 0.0) -> Array:
+    """Apply the composed inverse transform.  images (B, H, W, C) any dtype;
+    returns float32 (bilinear) or input dtype (nearest)."""
+    b, h, w, c = images.shape
+    x_src, y_src = _source_coords(mats, h, w, disp)
+
+    if method == "nearest":
+        ix = jnp.clip(jnp.round(x_src), 0, w - 1).astype(jnp.int32)
+        iy = jnp.clip(jnp.round(y_src), 0, h - 1).astype(jnp.int32)
+        out = jax.vmap(_gather2d)(images, iy, ix)
+        oob = ((x_src < -0.5) | (x_src > w - 0.5)
+               | (y_src < -0.5) | (y_src > h - 0.5))
+        return jnp.where(oob[..., None], jnp.asarray(fill, images.dtype), out)
+
+    imgs = images.astype(jnp.float32)
+    x0 = jnp.floor(x_src)
+    y0 = jnp.floor(y_src)
+    fx = x_src - x0
+    fy = y_src - y0
+    x0i = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+    x1i = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+    y0i = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+    y1i = jnp.clip(y0 + 1, 0, h - 1).astype(jnp.int32)
+    g = jax.vmap(_gather2d)
+    v00 = g(imgs, y0i, x0i)
+    v01 = g(imgs, y0i, x1i)
+    v10 = g(imgs, y1i, x0i)
+    v11 = g(imgs, y1i, x1i)
+    fx_ = fx[..., None]
+    fy_ = fy[..., None]
+    out = ((1 - fy_) * ((1 - fx_) * v00 + fx_ * v01)
+           + fy_ * ((1 - fx_) * v10 + fx_ * v11))
+    oob = ((x_src < -0.5) | (x_src > w - 0.5)
+           | (y_src < -0.5) | (y_src > h - 0.5))
+    return jnp.where(oob[..., None], fill, out)

@@ -1,0 +1,268 @@
+"""K-fold × multi-stage training orchestrator.
+
+The product's main loop — reference call stack SURVEY.md §3.2
+(``cfg.fit(ds)`` → per-fold model build → per-stage compile/fit with
+negatives handling, best-checkpointing, CSV metrics, best-weights carry
+into the next stage).  TPU-native re-design:
+
+  * one jitted train/eval program per stage (loss/freeze changes retrace at
+    stage boundaries only; lr changes are runtime scalars);
+  * the mesh is chosen once per fit: all devices on the ``data`` axis when
+    the global batch divides, with spatial partitioning opt-in via
+    ``mesh: {space: N}`` in YAML;
+  * ``fit`` is idempotent per (fold, stage): completed pairs (checkpoint +
+    ``done`` marker in the sidecar) are skipped on re-run — the reference's
+    crash-resume story (`start_from_stage` + best-weights reload) without
+    manual bookkeeping (SURVEY §5 'Failure detection').
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import METRICS, PipelineConfig
+from ..data.batcher import Prefetcher, make_batches
+from ..data.datasets import KFoldedDataSet
+from ..models.factory import init_model, model_from_config, template_variables
+from ..ops.losses import build_loss
+from ..parallel.mesh import MeshSpec, build_mesh, replicated
+from . import callbacks as cb
+from .checkpoint import checkpoint_meta, load_checkpoint, save_checkpoint
+from .optimizers import build_optimizer
+from .step import TrainState, build_eval_step, build_train_step, create_train_state
+
+
+def _gcd_mesh(cfg: PipelineConfig):
+    """Pick the data-parallel width: explicit from YAML, else the largest
+    device count that divides the global batch (1 → plain jit)."""
+    n_dev = len(jax.devices())
+    if cfg.mesh:
+        return build_mesh(MeshSpec.from_config(cfg.mesh))
+    n_data = math.gcd(cfg.batch, n_dev)
+    return build_mesh(MeshSpec(data=n_data, space=1),
+                      devices=jax.devices()[:n_data])
+
+
+def _metric_fns(cfg: PipelineConfig):
+    from ..config import _populate_registries
+
+    _populate_registries()
+    return {name: METRICS.get(name) for name in cfg.metrics}
+
+
+def _weighted_epoch_mean(batches: List[Dict[str, np.ndarray]]) -> Dict[str, float]:
+    """Per-example eval logs + weights → padding-corrected epoch means."""
+    if not batches:
+        return {}
+    keys = [k for k in batches[0] if k != "weight"]
+    w = np.concatenate([np.asarray(b["weight"]) for b in batches])
+    out = {}
+    for k in keys:
+        v = np.concatenate([np.asarray(b[k], dtype=np.float64) for b in batches])
+        out[k] = float((v * w).sum() / max(w.sum(), 1.0))
+    return out
+
+
+def _build_aug_fn(cfg: PipelineConfig):
+    if not cfg.augmentation and not cfg.transforms:
+        return None
+    from ..ops.aug.lowering import build_augmentation
+
+    return build_augmentation(cfg.augmentation + cfg.transforms)
+
+
+class _BestTracker:
+    def __init__(self, monitor: str, mode: str):
+        self.monitor = monitor
+        self.mode = mode
+        self.best = math.inf if mode == "min" else -math.inf
+
+    def update(self, logs: Dict[str, float]) -> bool:
+        cur = logs.get(self.monitor)
+        if cur is None or not math.isfinite(cur):
+            return False
+        better = cur < self.best if self.mode == "min" else cur > self.best
+        if better:
+            self.best = cur
+        return better
+
+
+def fit_pipeline(cfg: PipelineConfig, dataset,
+                 foldsToExecute: Optional[Sequence[int]] = None,
+                 start_from_stage: int = 0,
+                 drop_incomplete: bool = False,
+                 verbose: Optional[int] = None) -> Dict[str, Dict]:
+    """Train all requested folds through all stages.  Returns per-(fold,
+    stage) summary dicts (best metric, epochs run, checkpoint path)."""
+    verbose = cfg.verbose if verbose is None else verbose
+    mesh = _gcd_mesh(cfg)
+    model = model_from_config(cfg)
+    metric_fns = _metric_fns(cfg)
+    aug_fn = _build_aug_fn(cfg)
+    kfold = (dataset if isinstance(dataset, KFoldedDataSet)
+             else cfg.kfold(dataset))
+
+    folds = list(foldsToExecute) if foldsToExecute is not None \
+        else list(range(cfg.folds_count))
+    monitor = cfg.primary_metric
+    mode = cfg.primary_mode()
+
+    results: Dict[str, Dict] = {}
+    for fold in folds:
+        variables = None  # lazy: skipped stages never touch the device
+
+        def ensure_variables(v, fold=fold):
+            if v is None:
+                v = init_model(model, cfg.shape, seed=cfg.random_state + fold)
+            return jax.device_put(jax.device_get(v), replicated(mesh))
+
+        frozen = cfg.freeze_encoder
+        for si, stage in enumerate(cfg.stages):
+            key = f"fold{fold}.stage{si}"
+            ckpt_path = cfg.weights_path(fold, si)
+            meta = checkpoint_meta(ckpt_path)
+            if si < start_from_stage or (meta and meta.get("done")):
+                # skip completed stage; pick up its best weights if present
+                if os.path.exists(ckpt_path):
+                    variables = load_checkpoint(
+                        ckpt_path, template_variables(model, cfg.shape))
+                    results[key] = {"skipped": True, "checkpoint": ckpt_path,
+                                    **({k: meta[k] for k in ("best",)
+                                        if meta and k in meta})}
+                continue
+            variables = ensure_variables(variables)
+
+            # --- stage setup --------------------------------------------
+            if stage.unfreeze_encoder:
+                frozen = False
+            if stage.freeze_encoder is not None:
+                frozen = stage.freeze_encoder
+            if stage.initial_weights:
+                p = stage.initial_weights
+                if not os.path.isabs(p):
+                    p = os.path.join(cfg.directory, p)
+                variables = load_checkpoint(p, jax.device_get(variables))
+                variables = jax.device_put(variables, replicated(mesh))
+
+            batch = stage.batch or cfg.batch
+            loss_expr = stage.loss or cfg.loss
+            loss_fn = build_loss(loss_expr, cfg.activation)
+            tx = build_optimizer(cfg, freeze_encoder=frozen)
+            train_step = build_train_step(
+                model, tx, loss_fn, metric_fns, cfg.activation,
+                cfg.preprocessing, aug_fn=aug_fn, donate=cfg.donate)
+            eval_step = build_eval_step(
+                model, loss_fn, metric_fns, cfg.activation, cfg.preprocessing)
+            state = create_train_state(model, variables, tx)
+            state = jax.device_put(state, replicated(mesh))
+
+            base_lr = stage.lr if stage.lr is not None else cfg.lr
+            control = cb.TrainingControl(base_lr=base_lr)
+            cbs = [c for c in
+                   (cb.instantiate(s, cfg.directory)
+                    for s in (cfg.callbacks + stage.callbacks))
+                   if c is not None]
+            csv = cb.CSVLogger(cfg.metrics_path(fold, si))
+            cbs.append(csv)
+            for c in cbs:
+                c.on_train_begin(control)
+            tracker = _BestTracker(monitor, mode)
+            negatives = stage.negatives if stage.negatives is not None \
+                else cfg.negatives
+            val_negatives = (stage.validation_negatives
+                             if stage.validation_negatives is not None
+                             else cfg.validation_negatives)
+            val_idx = kfold.val_indices(fold, val_negatives)
+            rng = jax.random.PRNGKey(cfg.random_state * 1000 + fold * 10 + si)
+
+            if verbose:
+                n_dev = int(np.prod(mesh.devices.shape))
+                print(f"[fold {fold} stage {si}] epochs={stage.epochs} "
+                      f"lr={base_lr} loss={loss_expr} frozen={frozen} "
+                      f"batch={batch} mesh={n_dev}dev")
+
+            epochs_run = 0
+            for epoch in range(stage.epochs):
+                t0 = time.time()
+                plan = kfold.epoch_indices(fold, epoch, negatives)
+                if stage.steps_per_epoch:
+                    plan = plan[: stage.steps_per_epoch * batch]
+                gen = lambda: make_batches(  # noqa: E731
+                    kfold.dataset, plan, cfg.shape, cfg.classes,
+                    cfg.activation, batch)
+                train_logs = []
+                for b in Prefetcher(gen, mesh=mesh, depth=cfg.prefetch):
+                    for c in cbs:
+                        c.on_batch_begin(control)
+                    lr_now = jnp.asarray(control.effective_lr, jnp.float32)
+                    state, logs = train_step(state, b, lr_now, rng)
+                    train_logs.append(logs)
+                    control.global_step += 1
+
+                vgen = lambda: make_batches(  # noqa: E731
+                    kfold.dataset, val_idx, cfg.shape, cfg.classes,
+                    cfg.activation, batch)
+                val_logs = []
+                for b in Prefetcher(vgen, mesh=mesh, depth=cfg.prefetch):
+                    val_logs.append(jax.device_get(eval_step(state, b)))
+
+                tl = jax.device_get(train_logs)
+                epoch_logs: Dict[str, float] = {
+                    k: float(np.mean([d[k] for d in tl])) for k in tl[0]
+                } if tl else {}
+                for k, v in _weighted_epoch_mean(val_logs).items():
+                    epoch_logs[f"val_{k}"] = v
+                epochs_run = epoch + 1
+
+                if tracker.update(epoch_logs):
+                    variables = {"params": state.params,
+                                 "batch_stats": state.batch_stats}
+                    save_checkpoint(ckpt_path, variables,
+                                    meta={"fold": fold, "stage": si,
+                                          "monitor": monitor,
+                                          "best": tracker.best,
+                                          "epoch": epoch,
+                                          "architecture": cfg.architecture,
+                                          "backbone": cfg.backbone,
+                                          "done": False})
+                for c in cbs:
+                    c.on_epoch_end(epoch, epoch_logs, control)
+                if verbose:
+                    msg = " ".join(f"{k}={v:.4f}" for k, v in epoch_logs.items())
+                    print(f"  epoch {epoch}: {msg} ({time.time()-t0:.1f}s)")
+                if control.stop_training:
+                    break
+
+            for c in cbs:
+                c.on_train_end(control)
+
+            # restore best weights for the next stage (reference behavior)
+            if os.path.exists(ckpt_path):
+                variables = load_checkpoint(ckpt_path,
+                                            jax.device_get(
+                                                {"params": state.params,
+                                                 "batch_stats": state.batch_stats}))
+                m = checkpoint_meta(ckpt_path) or {}
+                m["done"] = True
+                m["epochs_run"] = epochs_run
+                save_checkpoint(ckpt_path, variables, meta=m)
+            else:
+                # no improvement ever recorded — persist the final weights
+                variables = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+                save_checkpoint(ckpt_path, variables,
+                                meta={"fold": fold, "stage": si,
+                                      "monitor": monitor, "best": None,
+                                      "done": True, "epochs_run": epochs_run})
+            variables = jax.device_put(jax.device_get(variables),
+                                       replicated(mesh))
+            results[key] = {"best": tracker.best, "epochs": epochs_run,
+                            "checkpoint": ckpt_path}
+    return results

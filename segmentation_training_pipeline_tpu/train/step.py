@@ -1,0 +1,132 @@
+"""Jitted train/eval steps.
+
+One XLA program per (stage-config): on-device augmentation + preprocessing
++ forward + loss + backward + optimizer update, with the train state
+donated (params update in place in HBM).  Data parallelism is GSPMD: the
+batch arrives sharded ``P('data', 'space')``, the state replicated; XLA
+inserts the gradient/BatchNorm ``psum``s over ICI.  Learning rate is a
+runtime scalar argument so host-side schedule callbacks never retrace.
+
+The reference's equivalent is Keras ``model.compile`` + ``fit_generator``'s
+per-batch train function (SURVEY.md §3.2); there is no param-server or
+NCCL analog to port — the mesh story is new (SURVEY §2d).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.factory import apply_activation
+from ..ops.preprocess import preprocess
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(model, variables, tx) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _per_example(fn):
+    """Lift a batch-mean fn(y, p, act) to per-example values (B,)."""
+
+    def wrapped(y, p, activation):
+        return jax.vmap(lambda yt, pt: fn(yt[None], pt[None], activation))(y, p)
+
+    return wrapped
+
+
+def build_train_step(model, tx, loss_fn, metric_fns: Dict[str, Callable],
+                     activation: str, preprocessing: Optional[str],
+                     aug_fn: Optional[Callable] = None,
+                     donate: bool = True):
+    """→ train_step(state, batch, lr, rng) -> (state, logs)."""
+
+    def _step(state: TrainState, batch, lr, rng):
+        aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        images, masks = batch["image"], batch["mask"]
+        if aug_fn is not None:
+            images, masks = aug_fn(aug_rng, images, masks)
+        x = preprocess(images, preprocessing or "tf", model.dtype)
+        masks = masks.astype(jnp.float32)
+
+        def lf(params):
+            logits, upd = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": drop_rng},
+            )
+            return loss_fn(masks, logits), (upd["batch_stats"], logits)
+
+        (loss, (new_bs, logits)), grads = jax.value_and_grad(
+            lf, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        lr_ = jnp.asarray(lr, jnp.float32)
+        updates = jax.tree.map(lambda u: (-lr_ * u).astype(u.dtype), updates)
+        params = optax.apply_updates(state.params, updates)
+
+        logs = {"loss": loss}
+        if metric_fns:
+            probs = apply_activation(logits, activation)
+            for name, fn in metric_fns.items():
+                logs[name] = fn(masks, probs, activation)
+        new_state = TrainState(
+            params=params, batch_stats=new_bs, opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, logs
+
+    return jax.jit(_step, donate_argnums=(0,) if donate else ())
+
+
+def build_eval_step(model, loss_fn, metric_fns: Dict[str, Callable],
+                    activation: str, preprocessing: Optional[str]):
+    """→ eval_step(state, batch) -> per-example logs dict + 'weight'.
+
+    Per-example values let the host compute padding-corrected epoch means
+    (the final wrap-padded batch contributes weight 0 for padded rows).
+    """
+
+    per_loss = jax.vmap(lambda yt, lg: loss_fn(yt[None], lg[None]))
+
+    def _step(state: TrainState, batch):
+        x = preprocess(batch["image"], preprocessing or "tf", model.dtype)
+        masks = batch["mask"].astype(jnp.float32)
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False,
+        )
+        logs = {"loss": per_loss(masks, logits), "weight": batch["weight"]}
+        probs = apply_activation(logits, activation)
+        for name, fn in metric_fns.items():
+            logs[name] = _per_example(fn)(masks, probs, activation)
+        return logs
+
+    return jax.jit(_step)
+
+
+def build_predict_step(model, activation: str, preprocessing: Optional[str]):
+    """→ predict_step(variables, images_u8) -> probabilities (f32)."""
+
+    def _step(variables, images):
+        x = preprocess(images, preprocessing or "tf", model.dtype)
+        logits = model.apply(variables, x, train=False)
+        return apply_activation(logits, activation)
+
+    return jax.jit(_step)

@@ -1,0 +1,211 @@
+"""Aug-kernel oracle tests (SURVEY §4): flips/rot90 exact vs numpy,
+affine vs scipy.ndimage.affine_transform, image+mask joint consistency.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from segmentation_training_pipeline_tpu.ops.aug import build_augmentation
+from segmentation_training_pipeline_tpu.ops.aug import warp as W
+
+
+def _imgs(b=2, h=16, w=16, c=3, seed=0):
+    r = np.random.RandomState(seed)
+    return r.randint(0, 255, (b, h, w, c)).astype(np.uint8)
+
+
+def _masks(b=2, h=16, w=16, seed=1):
+    r = np.random.RandomState(seed)
+    m = (r.rand(b, h, w, 1) > 0.6).astype(np.float32)
+    return m
+
+
+def _run(specs, imgs, masks, seed=0):
+    fn = build_augmentation(
+        [{"name": n, "args": a} for n, a in specs])
+    out_i, out_m = jax.jit(fn)(jax.random.PRNGKey(seed),
+                               jnp.asarray(imgs), jnp.asarray(masks))
+    return np.asarray(out_i), np.asarray(out_m)
+
+
+class TestFlips:
+    def test_fliplr_p1_exact(self):
+        imgs, masks = _imgs(), _masks()
+        oi, om = _run([("Fliplr", 1.0)], imgs, masks)
+        np.testing.assert_allclose(oi, imgs[:, :, ::-1].astype(np.float32),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(om, masks[:, :, ::-1])
+
+    def test_fliplr_p0_identity(self):
+        imgs, masks = _imgs(), _masks()
+        oi, om = _run([("Fliplr", 0.0)], imgs, masks)
+        np.testing.assert_allclose(oi, imgs.astype(np.float32), atol=1e-4)
+        np.testing.assert_array_equal(om, masks)
+
+    def test_flipud_p1_exact(self):
+        imgs, masks = _imgs(), _masks()
+        oi, om = _run([("Flipud", 1.0)], imgs, masks)
+        np.testing.assert_allclose(oi, imgs[:, ::-1].astype(np.float32),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(om, masks[:, ::-1])
+
+    def test_double_flip_is_identity(self):
+        imgs, masks = _imgs()[:1], _masks(1)
+        oi, om = _run([("Fliplr", 1.0), ("Fliplr", 1.0)], imgs, masks)
+        np.testing.assert_allclose(oi, imgs.astype(np.float32), atol=1e-3)
+
+
+class TestRot90:
+    def test_k_fixed_square_matches_numpy(self):
+        imgs, masks = _imgs(1, 16, 16), _masks(1, 16, 16)
+        oi, om = _run([("Rot90", 1)], imgs, masks)
+        cand = [np.rot90(imgs[0], k, axes=(0, 1)) for k in (1, 3)]
+        err = [np.abs(oi[0] - c.astype(np.float32)).max() for c in cand]
+        assert min(err) < 1e-3  # matches one rotation direction exactly
+        # mask got the same transform as the image
+        k_match = (1, 3)[int(np.argmin(err))]
+        np.testing.assert_array_equal(om[0], np.rot90(masks[0], k_match,
+                                                      axes=(0, 1)))
+
+    def test_k2_is_180(self):
+        imgs, masks = _imgs(1), _masks(1)
+        oi, om = _run([("Rot90", 2)], imgs, masks)
+        np.testing.assert_allclose(oi[0], imgs[0, ::-1, ::-1].astype(np.float32),
+                                   atol=1e-3)
+
+
+class TestAffine:
+    def test_identity(self):
+        imgs, masks = _imgs(), _masks()
+        oi, om = _run([("Affine", {"rotate": 0})], imgs, masks)
+        np.testing.assert_allclose(oi, imgs.astype(np.float32), atol=1e-3)
+
+    def test_translate_px_exact(self):
+        imgs, masks = _imgs(1), _masks(1)
+        oi, om = _run([("Affine", {"translate_px": {"x": 3, "y": 0}})],
+                      imgs, masks)
+        # forward shift right by 3: out[:, 3:] == in[:, :-3]
+        np.testing.assert_allclose(oi[0][:, 3:], imgs[0][:, :-3], atol=1e-3)
+        assert np.abs(oi[0][:, :3]).max() < 1e-3  # filled with 0
+
+    def test_rotation_vs_scipy(self):
+        from scipy.ndimage import affine_transform
+
+        h = w = 32
+        img = np.random.RandomState(3).rand(h, w).astype(np.float32) * 255
+        theta = np.deg2rad(23.0)
+        img = np.round(img)  # keep uint8 cast lossless vs the scipy oracle
+        oi, _ = _run([("Affine", {"rotate": 23.0})],
+                     img[None, :, :, None].astype(np.uint8),
+                     np.zeros((1, h, w, 1), np.float32))
+        # scipy: src = M @ dst + offset (same inverse-mapping convention)
+        c, s = np.cos(theta), np.sin(theta)
+        cx = cy = (w - 1) / 2.0
+        M = np.array([[c, s], [-s, c]])  # rows are (y, x)? build in xy then swap
+        # our matrix in (x, y): [[c, s],[ -s, c]] with offset
+        A = np.array([[c, s], [-s, c]])
+        off = np.array([cx - c * cx - s * cy, cy + s * cx - c * cy])
+        # scipy works in (row=y, col=x) order: permute
+        A_rc = np.array([[A[1, 1], A[1, 0]], [A[0, 1], A[0, 0]]])
+        off_rc = np.array([off[1], off[0]])
+        ref = affine_transform(np.round(img).astype(np.float32), A_rc,
+                               offset=off_rc, order=1, mode="constant")
+        interior = (slice(8, 24), slice(8, 24))
+        assert np.abs(oi[0, :, :, 0][interior] - ref[interior]).max() < 1.0
+
+    def test_scale_zoom_in_keeps_center(self):
+        imgs = np.zeros((1, 32, 32, 3), np.uint8)
+        imgs[0, 12:20, 12:20] = 200
+        masks = np.zeros((1, 32, 32, 1), np.float32)
+        masks[0, 12:20, 12:20] = 1
+        oi, om = _run([("Affine", {"scale": 2.0})], imgs, masks)
+        assert om[0, 16, 16, 0] == 1.0  # center stays inside
+        assert om.sum() > masks.sum() * 2  # area grew ~4x
+
+
+class TestElastic:
+    def test_alpha0_identity(self):
+        imgs, masks = _imgs(1), _masks(1)
+        oi, om = _run([("ElasticTransformation", {"alpha": 0.0, "sigma": 3.0})],
+                      imgs, masks)
+        np.testing.assert_allclose(oi[0], imgs[0].astype(np.float32), atol=1e-2)
+
+    def test_deforms_but_preserves_mask_values(self):
+        imgs, masks = _imgs(2, 32, 32), _masks(2, 32, 32)
+        oi, om = _run([("ElasticTransformation", {"alpha": [8, 10], "sigma": 4.0})],
+                      imgs, masks)
+        assert set(np.unique(om)) <= {0.0, 1.0}  # nearest keeps labels crisp
+        assert np.abs(oi - imgs.astype(np.float32)).mean() > 1.0  # moved
+
+
+class TestPhotometric:
+    def test_multiply_exact(self):
+        imgs, masks = _imgs(), _masks()
+        oi, om = _run([("Multiply", [2.0, 2.0])], imgs, masks)
+        np.testing.assert_allclose(
+            oi, np.clip(imgs.astype(np.float32) * 2, 0, 255), atol=1e-3)
+        np.testing.assert_array_equal(om, masks)  # mask untouched
+
+    def test_add_and_contrast(self):
+        imgs, masks = _imgs(), _masks()
+        oi, _ = _run([("Add", [10.0, 10.0])], imgs, masks)
+        np.testing.assert_allclose(
+            oi, np.clip(imgs.astype(np.float32) + 10, 0, 255), atol=1e-3)
+        oi, _ = _run([("LinearContrast", [1.5, 1.5])], imgs, masks)
+        want = np.clip(127 + 1.5 * (imgs.astype(np.float32) - 127), 0, 255)
+        np.testing.assert_allclose(oi, want, atol=1e-3)
+
+    def test_noise_changes_image_not_mask(self):
+        imgs, masks = _imgs(), _masks()
+        oi, om = _run([("AdditiveGaussianNoise", {"scale": [10, 10]})],
+                      imgs, masks)
+        assert np.abs(oi - imgs.astype(np.float32)).mean() > 1.0
+        np.testing.assert_array_equal(om, masks)
+
+    def test_blur_reduces_variance(self):
+        imgs, masks = _imgs(1, 32, 32), _masks(1, 32, 32)
+        oi, _ = _run([("GaussianBlur", {"sigma": [2.0, 2.0]})], imgs, masks)
+        assert oi.std() < imgs.astype(np.float32).std()
+
+    def test_coarse_dropout_zeroes_blocks(self):
+        imgs = np.full((1, 32, 32, 3), 200, np.uint8)
+        oi, _ = _run([("CoarseDropout", {"p": 0.5, "size_percent": 0.25})],
+                     imgs, _masks(1, 32, 32))
+        frac = (oi == 0).mean()
+        assert 0.1 < frac < 0.9
+
+    def test_grayscale_full(self):
+        imgs, masks = _imgs(), _masks()
+        oi, _ = _run([("Grayscale", 1.0)], imgs, masks)
+        assert np.abs(oi[..., 0] - oi[..., 1]).max() < 1e-2
+
+
+class TestPipelineProperties:
+    def test_deterministic_per_key(self):
+        imgs, masks = _imgs(), _masks()
+        specs = [("Fliplr", 0.5), ("Affine", {"rotate": [-15, 15]}),
+                 ("Multiply", [0.8, 1.2])]
+        a_i, a_m = _run(specs, imgs, masks, seed=7)
+        b_i, b_m = _run(specs, imgs, masks, seed=7)
+        np.testing.assert_array_equal(a_i, b_i)
+        c_i, _ = _run(specs, imgs, masks, seed=8)
+        assert np.abs(a_i - c_i).max() > 1.0
+
+    def test_full_block_composes(self):
+        imgs, masks = _imgs(4, 32, 32), _masks(4, 32, 32)
+        specs = [("Fliplr", 0.5), ("Flipud", 0.5),
+                 ("Affine", {"rotate": [-10, 10], "scale": [0.9, 1.1],
+                             "translate_percent": {"x": [-0.1, 0.1]}}),
+                 ("ElasticTransformation", {"alpha": [0, 5], "sigma": 3.0}),
+                 ("Multiply", [0.9, 1.1]), ("GaussianBlur", {"sigma": [0, 1]})]
+        oi, om = _run(specs, imgs, masks)
+        assert oi.shape == (4, 32, 32, 3) and om.shape == (4, 32, 32, 1)
+        assert np.isfinite(oi).all()
+        assert set(np.unique(om)) <= {0.0, 1.0}
+
+    def test_unknown_augmenter_raises(self):
+        with pytest.raises(KeyError, match="lowering"):
+            _run([("Sharpen", 0.5)], _imgs(), _masks())

@@ -1,0 +1,97 @@
+import math
+
+from segmentation_training_pipeline_tpu.train import callbacks as cb
+
+
+def _ctrl(lr=0.1):
+    return cb.TrainingControl(base_lr=lr)
+
+
+class TestEarlyStopping:
+    def test_stops_after_patience(self):
+        es = cb.EarlyStopping(monitor="val_loss", patience=2)
+        c = _ctrl()
+        for epoch, v in enumerate([1.0, 0.9, 0.95, 0.96, 0.97]):
+            es.on_epoch_end(epoch, {"val_loss": v}, c)
+        assert c.stop_training
+
+    def test_no_stop_while_improving(self):
+        es = cb.EarlyStopping(monitor="val_loss", patience=1)
+        c = _ctrl()
+        for epoch, v in enumerate([1.0, 0.9, 0.8, 0.7]):
+            es.on_epoch_end(epoch, {"val_loss": v}, c)
+        assert not c.stop_training
+
+    def test_max_mode_auto(self):
+        es = cb.EarlyStopping(monitor="val_dice", patience=0)
+        c = _ctrl()
+        es.on_epoch_end(0, {"val_dice": 0.5}, c)
+        es.on_epoch_end(1, {"val_dice": 0.4}, c)
+        assert c.stop_training
+
+
+class TestReduceLROnPlateau:
+    def test_reduces_after_patience(self):
+        r = cb.ReduceLROnPlateau(monitor="val_loss", factor=0.5, patience=1)
+        c = _ctrl(0.1)
+        r.on_epoch_end(0, {"val_loss": 1.0}, c)
+        r.on_epoch_end(1, {"val_loss": 1.1}, c)
+        assert math.isclose(c.effective_lr, 0.05)
+
+    def test_min_lr_floor(self):
+        r = cb.ReduceLROnPlateau(monitor="val_loss", factor=0.1, patience=0,
+                                 min_lr=0.05)
+        c = _ctrl(0.1)
+        r.on_epoch_end(0, {"val_loss": 1.0}, c)
+        r.on_epoch_end(1, {"val_loss": 1.1}, c)
+        r.on_epoch_end(2, {"val_loss": 1.2}, c)
+        assert math.isclose(c.effective_lr, 0.05)
+
+
+class TestCyclicLR:
+    def test_triangle_wave(self):
+        clr = cb.CyclicLR(base_lr=0.0, max_lr=1.0, step_size=10)
+        c = _ctrl(0.5)
+        vals = []
+        for step in range(21):
+            c.global_step = step
+            clr.on_batch_begin(c)
+            vals.append(c.effective_lr)
+        assert math.isclose(vals[0], 0.0)
+        assert math.isclose(vals[10], 1.0)
+        assert math.isclose(vals[20], 0.0, abs_tol=1e-9)
+
+
+class TestLRVariator:
+    def test_linear_ramp(self):
+        v = cb.LRVariator(fromVal=0.0, toVal=1.0, steps=10)
+        c = _ctrl(0.5)
+        c.global_step = 5
+        v.on_batch_begin(c)
+        assert math.isclose(c.effective_lr, 0.5)
+
+
+def test_terminate_on_nan():
+    t = cb.TerminateOnNaN()
+    c = _ctrl()
+    t.on_epoch_end(0, {"loss": float("nan")}, c)
+    assert c.stop_training
+
+
+def test_csv_logger(tmp_path):
+    path = str(tmp_path / "m.csv")
+    c = _ctrl(0.01)
+    log = cb.CSVLogger(path)
+    log.on_train_begin(c)
+    log.on_epoch_end(0, {"loss": 0.5, "val_loss": 0.6}, c)
+    log.on_epoch_end(1, {"loss": 0.4, "val_loss": 0.5}, c)
+    log.on_train_end(c)
+    lines = open(path).read().strip().split("\n")
+    assert lines[0] == "epoch,lr,loss,val_loss"
+    assert lines[1].startswith("0,0.01,0.5")
+
+
+def test_instantiate_from_spec(tmp_path):
+    c = cb.instantiate({"name": "EarlyStopping", "args": {"patience": 3}}, ".")
+    assert isinstance(c, cb.EarlyStopping) and c.patience == 3
+    assert cb.instantiate({"name": "ModelCheckpoint", "args": {}}, ".") is None

@@ -1,0 +1,111 @@
+import os
+
+import numpy as np
+import pytest
+
+import segmentation_training_pipeline_tpu as stp
+
+
+class _SquareDS(stp.DataSet):
+    def __init__(self, n=12, size=32):
+        self.n, self.size = n, size
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        r = np.random.RandomState(100 + i)
+        s = self.size
+        y = np.zeros((s, s), np.uint8)
+        y[s // 4: 3 * s // 4, s // 4: 3 * s // 4] = 1
+        x = (np.repeat(y[:, :, None], 3, -1) * 180
+             + r.randint(0, 60, (s, s, 3))).astype(np.uint8)
+        return stp.PredictionItem(f"sq{i}", x, y)
+
+
+@pytest.fixture(scope="module")
+def trained2(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("infer")
+    cfg = stp.parse_dict(
+        dict(architecture="Unet", backbone="resnet18", shape=[32, 32, 3],
+             classes=1, activation="sigmoid", loss="binary_crossentropy",
+             lr=2e-3, batch=4, metrics=["iou"], primary_metric="val_iou",
+             folds_count=2, dtype="float32", stages=[{"epochs": 4}]),
+        directory=str(tmp))
+    ds = _SquareDS()
+    cfg.fit(ds, verbose=0)  # both folds
+    return cfg, ds, tmp
+
+
+class TestPredict:
+    def test_predict_on_dataset_fills_predictions(self, trained2):
+        cfg, ds, tmp = trained2
+        items = list(cfg.predict_on_dataset(ds))
+        assert len(items) == len(ds)
+        p = items[0].prediction
+        assert p.shape == (32, 32, 1)
+        assert 0.0 <= p.min() and p.max() <= 1.0
+
+    def test_fold_ensemble_uses_all_trained_folds(self, trained2):
+        cfg, ds, tmp = trained2
+        from segmentation_training_pipeline_tpu.infer import _resolve_folds
+
+        assert _resolve_folds(cfg, None, -1) == [0, 1]
+
+    def test_predict_all_to_dir_writes_masks(self, trained2):
+        cfg, ds, tmp = trained2
+        import cv2
+
+        dst = str(tmp / "preds")
+        n = cfg.predict_all_to_dir(ds, dst)
+        assert n == len(ds)
+        m = cv2.imread(os.path.join(dst, "sq0.png"), cv2.IMREAD_GRAYSCALE)
+        assert m.shape == (32, 32)
+        assert set(np.unique(m)) <= {0, 255}
+        # the trained model should mostly recover the center square
+        inner = m[12:20, 12:20]
+        assert (inner == 255).mean() > 0.5
+
+    def test_flip_tta_runs_and_close_to_plain(self, trained2):
+        cfg, ds, tmp = trained2
+        from segmentation_training_pipeline_tpu.infer import InferenceBundle
+        from segmentation_training_pipeline_tpu.data.batcher import prepare_image
+
+        imgs = np.stack([prepare_image(ds[i].x, cfg.shape) for i in range(4)])
+        plain = InferenceBundle(cfg, [0], 0, tta=None).predict_probs(imgs)
+        tta = InferenceBundle(cfg, [0], 0, tta="flip").predict_probs(imgs)
+        assert tta.shape == plain.shape
+        assert np.abs(tta - plain).mean() < 0.2  # same model, averaged views
+
+    def test_missing_checkpoint_raises(self, trained2):
+        cfg, ds, tmp = trained2
+        from segmentation_training_pipeline_tpu.infer import InferenceBundle
+
+        with pytest.raises(FileNotFoundError, match="fold 5"):
+            InferenceBundle(cfg, [5], 0)
+
+    def test_evaluate_returns_metrics(self, trained2):
+        cfg, ds, tmp = trained2
+        res = cfg.evaluate(ds)
+        assert "iou" in res
+        assert 0.1 < res["iou"] <= 1.0  # toy 4-epoch model: weak but real signal
+
+    def test_load_model_api(self, trained2):
+        cfg, ds, tmp = trained2
+        bundle = cfg.load(fold=0, stage=0)
+        assert bundle.folds == [0]
+
+
+class TestCrops:
+    def test_crop_split_prediction_shape(self, trained2):
+        cfg, ds, tmp = trained2
+        import dataclasses
+
+        cfg2 = dataclasses.replace(cfg, crops=2)
+        big = np.zeros((64, 64, 3), np.uint8)
+        big[16:48, 16:48] = 180
+        one = stp.data.datasets.LambdaDataSet([big], [None], ids=["big"])
+        from segmentation_training_pipeline_tpu.infer import predict_on_dataset
+
+        items = list(predict_on_dataset(cfg2, one, folds=[0], stage=0))
+        assert items[0].prediction.shape == (64, 64, 1)
