@@ -1,0 +1,102 @@
+"""North-star benchmark: images/sec/chip, Unet-resnet34 512x512 training.
+
+Runs the full jitted training step (on-device augmentation + preprocessing
++ forward + backward + optimizer, bf16 compute) on device-resident batches
+— the BASELINE.json metric ("images/sec/chip training (Unet-resnet34
+512²)").
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md).  The
+documented proxy is BASELINE.json's target of >=3x a Keras-GPU baseline;
+we anchor on 25 images/sec/GPU — a typical Keras/TF1-era Unet-resnet34
+512² fit_generator throughput on a V100-class card — giving a 75 img/s
+target.  vs_baseline = measured / 75.0, so >=1.0 means the 3x north-star
+target is met.  Re-anchor when a real Keras measurement exists.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    # persistent compile cache (cold XLA compiles cost minutes on
+    # remote-compile TPU setups)
+    import jax
+
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "stp_xla_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from segmentation_training_pipeline_tpu.config import parse_dict
+    from segmentation_training_pipeline_tpu.models.factory import (
+        create_model, init_model)
+    from segmentation_training_pipeline_tpu.ops.aug import build_augmentation
+    from segmentation_training_pipeline_tpu.ops.losses import build_loss
+    from segmentation_training_pipeline_tpu.train.optimizers import build_optimizer
+    from segmentation_training_pipeline_tpu.train.step import (
+        build_train_step, create_train_state)
+
+    BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+    H = W = int(os.environ.get("BENCH_SIZE", "512"))
+    STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+    WARMUP = 3
+
+    cfg = parse_dict(dict(
+        architecture="Unet", backbone="resnet34", shape=[H, W, 3], classes=1,
+        activation="sigmoid", loss="binary_crossentropy + 0.25*dice_loss",
+        optimizer="Adam", lr=1e-3, dtype="bfloat16",
+        augmentation={"Fliplr": 0.5},
+    ))
+    model = create_model(cfg.architecture, cfg.backbone, classes=cfg.classes,
+                         dtype=cfg.dtype)
+    variables = init_model(model, (H, W, 3), seed=0)
+    tx = build_optimizer(cfg)
+    loss_fn = build_loss(cfg.loss, cfg.activation)
+    aug_fn = build_augmentation(cfg.augmentation)
+    step = build_train_step(model, tx, loss_fn, {}, cfg.activation, "tf",
+                            aug_fn=aug_fn, donate=True)
+
+    state = create_train_state(model, variables, tx)
+    rng = np.random.RandomState(0)
+    import jax as _jax
+
+    images = _jax.device_put(
+        rng.randint(0, 255, (BATCH, H, W, 3), dtype=np.uint8))
+    masks = _jax.device_put((rng.rand(BATCH, H, W, 1) > 0.5).astype(np.float32))
+    batch = {"image": images, "mask": masks}
+    lr = jnp.asarray(1e-3, jnp.float32)
+    key = _jax.random.PRNGKey(0)
+
+    for _ in range(WARMUP):
+        state, logs = step(state, batch, lr, key)
+    # value fetch, not block_until_ready: the latter returns early on some
+    # experimental PJRT backends (observed on axon) and fakes a ~100x speedup
+    float(_jax.device_get(logs["loss"]))
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, logs = step(state, batch, lr, key)
+    final_loss = float(_jax.device_get(logs["loss"]))  # forces the chain
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
+
+    n_chips = len(_jax.devices())
+    ips = BATCH * STEPS / dt / max(1, n_chips)
+    baseline_target = 75.0  # 3x of a 25 img/s Keras-GPU proxy (see docstring)
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip_unet_resnet34_512",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / baseline_target, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
