@@ -59,16 +59,88 @@ def _sample_xy(rng: Array, spec: Any, b: int, default: float) -> Tuple[Array, Ar
     return v, v
 
 
+_CHEAP_GEO = {"fliplr", "horizontalflip", "flipud", "verticalflip", "rot90"}
+
+
+def _flip_p(args) -> float:
+    if isinstance(args, (int, float)):
+        return float(args)
+    return float((args or {}).get("p", 0.5))
+
+
+def _apply_cheap_geo(specs, rng, images, masks):
+    """Flips/rot90 as reverse+select — no gather.  At 512² the general warp
+    gather costs ~2x a full fwd+bwd on TPU (measured); flips are the common
+    case and must stay ~free."""
+    b = images.shape[0]
+    square = images.shape[1] == images.shape[2]
+    keys = jax.random.split(rng, len(specs))
+    for k, s in zip(keys, specs):
+        name = s["name"].lower()
+        args = s.get("args")
+        if name in ("fliplr", "horizontalflip"):
+            f = jax.random.bernoulli(k, _flip_p(args), (b,))[:, None, None, None]
+            images = jnp.where(f, images[:, :, ::-1, :], images)
+            masks = jnp.where(f, masks[:, :, ::-1, :], masks)
+        elif name in ("flipud", "verticalflip"):
+            f = jax.random.bernoulli(k, _flip_p(args), (b,))[:, None, None, None]
+            images = jnp.where(f, images[:, ::-1, :, :], images)
+            masks = jnp.where(f, masks[:, ::-1, :, :], masks)
+        elif name == "rot90":
+            kk = args if args is not None else [0, 3]
+            spec_k = kk.get("k") if isinstance(kk, dict) else kk
+            if isinstance(spec_k, (list, tuple)) and len(spec_k) == 2:
+                ks = jax.random.randint(k, (b,), int(spec_k[0]),
+                                        int(spec_k[1]) + 1)
+            elif isinstance(spec_k, (list, tuple)):
+                arr = jnp.asarray([int(v) for v in spec_k], jnp.int32)
+                ks = arr[jax.random.randint(k, (b,), 0, len(spec_k))]
+            else:
+                ks = jnp.full((b,), int(spec_k), jnp.int32)
+
+            def rotk(x, ks=ks):
+                r1 = jnp.rot90(x, 1, axes=(1, 2))
+                r2 = x[:, ::-1, ::-1, :]
+                r3 = jnp.rot90(x, 3, axes=(1, 2))
+                kb = ks[:, None, None, None]
+                return jnp.where(kb == 1, r1,
+                                 jnp.where(kb == 2, r2,
+                                           jnp.where(kb == 3, r3, x)))
+
+            images = rotk(images)
+            masks = rotk(masks)
+    return images, masks
+
+
 def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
     """specs: [{"name": ..., "args": ...}] (config-normalized) →
     ``aug_fn(rng, images_u8, masks) -> (images_f32_0..255, masks)``."""
     geo = [s for s in specs if s["name"].lower() in _GEOMETRIC]
     photo = [s for s in specs if s["name"].lower() not in _GEOMETRIC]
 
+    # fast path: flips/rot90 only → no warp gather at all (rot90 on
+    # non-square images still needs the resizing warp, so square-only)
+    def _cheap_ok(shape_square: bool) -> bool:
+        if not geo:
+            return True
+        names = {s["name"].lower() for s in geo}
+        if not names <= _CHEAP_GEO:
+            return False
+        return shape_square or "rot90" not in names
+
     def aug_fn(rng: Array, images: Array, masks: Array):
         b, h, w = images.shape[0], images.shape[1], images.shape[2]
         cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
         keys = list(jax.random.split(rng, len(specs) + 2))
+
+        if _cheap_ok(h == w):
+            imgs = images.astype(jnp.float32)
+            if geo:
+                imgs, masks = _apply_cheap_geo(geo, keys[-1], imgs, masks)
+            for j, s in enumerate(photo):
+                imgs, masks = _apply_photo(s, keys[len(geo) + j], imgs, masks)
+            return jnp.clip(imgs, 0.0, 255.0), masks
+
         mats = W.identity_mats(b)
         disp: Optional[Tuple[Array, Array]] = None
 
@@ -161,48 +233,53 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
                     disp = (disp[0] + dx, disp[1] + dy)
 
         imgs = images.astype(jnp.float32)
-        any_geo = len(geo) > 0
-        if any_geo:
+        if geo:
             imgs = W.warp(imgs, mats, disp, method="bilinear")
             masks = W.warp(masks, mats, disp, method="nearest")
 
         for j, s in enumerate(photo):
-            name = s["name"].lower()
-            args = s.get("args")
-            k = keys[len(geo) + j]
-            if name == "multiply":
-                a = args if not isinstance(args, dict) else args.get("mul", 1.0)
-                imgs = ph.multiply(imgs, _sample(k, a, b, 1.0))
-            elif name == "add":
-                a = args if not isinstance(args, dict) else args.get("value", 0.0)
-                imgs = ph.add(imgs, _sample(k, a, b, 0.0))
-            elif name in ("linearcontrast", "contrastnormalization"):
-                a = args if not isinstance(args, dict) else args.get("alpha", 1.0)
-                imgs = ph.linear_contrast(imgs, _sample(k, a, b, 1.0))
-            elif name == "additivegaussiannoise":
-                a = args if not isinstance(args, dict) else args.get("scale", 0.0)
-                k1, k2 = jax.random.split(k)
-                imgs = ph.gaussian_noise(k2, imgs, _sample(k1, a, b, 0.0))
-            elif name == "gaussianblur":
-                a = args if not isinstance(args, dict) else args.get("sigma", 0.0)
-                imgs = ph.gaussian_blur(imgs, _sample(k, a, b, 0.0))
-            elif name in ("coarsedropout", "cutout"):
-                a = args or {}
-                if isinstance(a, (int, float, list, tuple)):
-                    p_spec, size = a, 0.1
-                else:
-                    p_spec = a.get("p", 0.05)
-                    size = float(a.get("size_percent", 0.1))
-                k1, k2 = jax.random.split(k)
-                imgs = ph.coarse_dropout(k2, imgs, _sample(k1, p_spec, b),
-                                         size_frac=size)
-            elif name == "grayscale":
-                a = args if not isinstance(args, dict) else args.get("alpha", 1.0)
-                imgs = ph.grayscale(imgs, _sample(k, a, b, 1.0))
-            else:
-                raise KeyError(f"augmenter {s['name']!r} has no lowering")
+            imgs, masks = _apply_photo(s, keys[len(geo) + j], imgs, masks)
 
         imgs = jnp.clip(imgs, 0.0, 255.0)
         return imgs, masks
 
     return aug_fn
+
+
+def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
+                 masks: Array) -> Tuple[Array, Array]:
+    name = s["name"].lower()
+    args = s.get("args")
+    b = imgs.shape[0]
+    if name == "multiply":
+        a = args if not isinstance(args, dict) else args.get("mul", 1.0)
+        imgs = ph.multiply(imgs, _sample(k, a, b, 1.0))
+    elif name == "add":
+        a = args if not isinstance(args, dict) else args.get("value", 0.0)
+        imgs = ph.add(imgs, _sample(k, a, b, 0.0))
+    elif name in ("linearcontrast", "contrastnormalization"):
+        a = args if not isinstance(args, dict) else args.get("alpha", 1.0)
+        imgs = ph.linear_contrast(imgs, _sample(k, a, b, 1.0))
+    elif name == "additivegaussiannoise":
+        a = args if not isinstance(args, dict) else args.get("scale", 0.0)
+        k1, k2 = jax.random.split(k)
+        imgs = ph.gaussian_noise(k2, imgs, _sample(k1, a, b, 0.0))
+    elif name == "gaussianblur":
+        a = args if not isinstance(args, dict) else args.get("sigma", 0.0)
+        imgs = ph.gaussian_blur(imgs, _sample(k, a, b, 0.0))
+    elif name in ("coarsedropout", "cutout"):
+        a = args or {}
+        if isinstance(a, (int, float, list, tuple)):
+            p_spec, size = a, 0.1
+        else:
+            p_spec = a.get("p", 0.05)
+            size = float(a.get("size_percent", 0.1))
+        k1, k2 = jax.random.split(k)
+        imgs = ph.coarse_dropout(k2, imgs, _sample(k1, p_spec, b),
+                                 size_frac=size)
+    elif name == "grayscale":
+        a = args if not isinstance(args, dict) else args.get("alpha", 1.0)
+        imgs = ph.grayscale(imgs, _sample(k, a, b, 1.0))
+    else:
+        raise KeyError(f"augmenter {s['name']!r} has no lowering")
+    return imgs, masks
