@@ -45,6 +45,7 @@ _TOP_LEVEL_KEYS = {
     # optimization
     "optimizer", "lr", "loss", "batch", "metrics", "primary_metric",
     "primary_metric_mode", "clipnorm", "clipvalue", "weight_decay",
+    "class_weights",
     # folds / splits
     "folds_count", "testSplit", "random_state", "stratified",
     # sampling
@@ -60,7 +61,7 @@ _TOP_LEVEL_KEYS = {
     # bookkeeping
     "directory", "experiment_name", "verbose",
     # TPU-native extensions (not in the reference schema)
-    "dtype", "mesh", "prefetch", "remat", "donate",
+    "dtype", "mesh", "prefetch", "remat", "donate", "profile", "debug",
 }
 
 _STAGE_KEYS = {
@@ -229,6 +230,7 @@ class PipelineConfig:
     clipnorm: Optional[float] = None
     clipvalue: Optional[float] = None
     weight_decay: float = 0.0
+    class_weights: Optional[List[float]] = None
 
     # folds / splits
     folds_count: int = 5
@@ -269,6 +271,8 @@ class PipelineConfig:
     prefetch: int = 2
     remat: bool = False
     donate: bool = True
+    profile: Any = False  # False | True | trace-dir path
+    debug: bool = False  # jax_debug_nans on the training programs
 
     # ------------------------------------------------------------------
     # construction
@@ -334,6 +338,14 @@ class PipelineConfig:
         if dtype not in ("bfloat16", "float32", "float16"):
             raise ConfigError(f"dtype must be bfloat16|float32|float16, got {dtype!r}")
 
+        class_weights = d.get("class_weights")
+        if class_weights is not None:
+            class_weights = [float(v) for v in class_weights]
+            if len(class_weights) != int(d.get("classes", 1)):
+                raise ConfigError(
+                    f"class_weights has {len(class_weights)} entries but "
+                    f"classes={d.get('classes', 1)}")
+
         crops = d.get("crops")
         if crops is not None:
             crops = int(crops)
@@ -355,6 +367,7 @@ class PipelineConfig:
             metrics=metrics_list,
             primary_metric=str(d.get("primary_metric", "val_loss")),
             primary_metric_mode=mode,
+            class_weights=class_weights,
             clipnorm=_opt_float(d.get("clipnorm")),
             clipvalue=_opt_float(d.get("clipvalue")),
             weight_decay=float(d.get("weight_decay", 0.0)),
@@ -382,6 +395,8 @@ class PipelineConfig:
             prefetch=int(d.get("prefetch", 2)),
             remat=bool(d.get("remat", False)),
             donate=bool(d.get("donate", True)),
+            profile=d.get("profile", False),
+            debug=bool(d.get("debug", False)),
         )
         return cfg
 
@@ -443,6 +458,11 @@ class PipelineConfig:
         from .infer import predict_on_dataset
 
         return predict_on_dataset(self, dataset, **kw)
+
+    def predict_to_csv(self, src, csv_path, **kw):
+        from .infer import predict_to_csv
+
+        return predict_to_csv(self, src, csv_path, **kw)
 
     def evaluate(self, dataset, **kw):
         from .infer import evaluate

@@ -88,32 +88,83 @@ def prepare_mask(y: Optional[np.ndarray], shape, classes: int,
     return (y > (127 if y.max() > 1.5 else 0.5)).astype(np.float32)
 
 
+def _masks_u8_to_float(masks_u8: np.ndarray, classes: int,
+                       activation: str) -> np.ndarray:
+    """(B, H, W) u8 decoded masks → (B, H, W, classes) float32, matching
+    prepare_mask's binary/{0,255}/class-index semantics (vectorized)."""
+    if activation == "softmax" and classes > 1:
+        idx = masks_u8.astype(np.int64)
+        if idx.max() > classes - 1 and idx.max() > 1:
+            idx = (idx > 127).astype(np.int64)
+        out = np.zeros((*masks_u8.shape, classes), np.float32)
+        np.put_along_axis(out, idx[..., None], 1.0, axis=-1)
+        return out
+    m = (masks_u8 > 127) if masks_u8.max() > 1.5 else (masks_u8 > 0)
+    m = m[..., None].astype(np.float32)
+    return np.repeat(m, classes, axis=-1) if classes > 1 else m
+
+
+_NATIVE_LOADER = None
+
+
+def _native_loader():
+    global _NATIVE_LOADER
+    if _NATIVE_LOADER is None:
+        try:
+            from ..native import NativeLoader
+
+            _NATIVE_LOADER = NativeLoader()
+        except Exception:
+            _NATIVE_LOADER = False
+    return _NATIVE_LOADER or None
+
+
 def make_batches(dataset: DataSet, indices: Sequence[int], shape, classes: int,
                  activation: str, batch_size: int,
                  wrap_pad: bool = True) -> Iterator[Dict[str, np.ndarray]]:
     """Yield batches of stacked uint8 images + float32 masks.
 
-    The final partial batch wraps around to the plan's start (deterministic)
-    and reports ``n_real`` so eval can weight out the padding.
+    File-backed datasets (exposing ``image_path``/``mask_path``) decode
+    through the native C++ thread-pool loader; anything else goes through
+    the per-item Python path.  The final partial batch wraps around to the
+    plan's start (deterministic) and reports weights so eval can discount
+    the padding.
     """
     idx = np.asarray(indices, dtype=np.int64)
     n = len(idx)
     if n == 0:
         return
+    h, w, c = shape
+    use_native = (hasattr(dataset, "image_path")
+                  and hasattr(dataset, "mask_path")
+                  and _native_loader() is not None)
     for start in range(0, n, batch_size):
         sel = idx[start : start + batch_size]
         n_real = len(sel)
         if n_real < batch_size and wrap_pad:
             extra = idx[np.arange(batch_size - n_real) % n]
             sel = np.concatenate([sel, extra])
-        imgs, masks = [], []
-        for i in sel:
-            item = dataset[int(i)]
-            imgs.append(prepare_image(item.x, shape))
-            masks.append(prepare_mask(item.y, shape, classes, activation))
+        if use_native:
+            loader = _native_loader()
+            ipaths = [dataset.image_path(int(i)) for i in sel]  # type: ignore[attr-defined]
+            mpaths = [dataset.mask_path(int(i)) for i in sel]  # type: ignore[attr-defined]
+            imgs_arr, masks_u8, fails = loader.load_batch(ipaths, mpaths, h, w, c)
+            if fails:
+                raise IOError(
+                    f"native loader failed on {fails} of {len(sel)} files "
+                    f"(first: {ipaths[0]})")
+            masks_arr = _masks_u8_to_float(masks_u8, classes, activation)
+        else:
+            imgs, masks = [], []
+            for i in sel:
+                item = dataset[int(i)]
+                imgs.append(prepare_image(item.x, shape))
+                masks.append(prepare_mask(item.y, shape, classes, activation))
+            imgs_arr = np.stack(imgs)
+            masks_arr = np.stack(masks)
         yield {
-            "image": np.stack(imgs),
-            "mask": np.stack(masks),
+            "image": imgs_arr,
+            "mask": masks_arr,
             "weight": (np.arange(len(sel)) < n_real).astype(np.float32),
         }
 

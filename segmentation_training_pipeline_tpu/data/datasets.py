@@ -77,6 +77,12 @@ class SubDataSet(DataSet):
     def __getitem__(self, idx):
         return self.parent[int(self.indices[idx])]
 
+    def image_path(self, idx: int):
+        return self.parent.image_path(int(self.indices[idx]))  # type: ignore[attr-defined]
+
+    def mask_path(self, idx: int):
+        return self.parent.mask_path(int(self.indices[idx]))  # type: ignore[attr-defined]
+
 
 class LambdaDataSet(DataSet):
     """Build a dataset from arrays or callables (used by tests/examples)."""
@@ -122,6 +128,17 @@ class DirectoryDataSet(DataSet):
 
     def __len__(self):
         return len(self.files)
+
+    # file-path accessors let the native C++ loader bypass per-item Python
+    def image_path(self, idx: int) -> str:
+        return os.path.join(self.images_dir, self.files[idx])
+
+    def mask_path(self, idx: int) -> Optional[str]:
+        if not self.masks_dir:
+            return None
+        stem = os.path.splitext(self.files[idx])[0]
+        f = self._mask_index.get(stem)
+        return os.path.join(self.masks_dir, f) if f else None
 
     def __getitem__(self, idx):
         import cv2
@@ -174,6 +191,26 @@ def kfold_indices(n: int, folds: int, random_state: int = 33,
     return out
 
 
+def stratified_kfold_indices(labels: np.ndarray, folds: int,
+                             random_state: int = 33):
+    """Stratified K-fold (sklearn ``StratifiedKFold(shuffle=True)``
+    semantics): per-class shuffled round-robin assignment so every fold
+    keeps the global positive/negative ratio."""
+    n = len(labels)
+    assign = np.empty(n, dtype=np.int64)
+    rng = np.random.RandomState(random_state)
+    for cls in np.unique(labels):
+        members = np.flatnonzero(labels == cls)
+        rng.shuffle(members)
+        assign[members] = np.arange(len(members)) % folds
+    out = []
+    for f in range(folds):
+        test = np.flatnonzero(assign == f)
+        train = np.flatnonzero(assign != f)
+        out.append((train, test))
+    return out
+
+
 def _is_negative(item: PredictionItem) -> bool:
     y = item.y
     return y is None or not np.any(y)
@@ -217,9 +254,16 @@ class KFoldedDataSet:
             self.test_indices = np.empty(0, dtype=np.int64)
             work = all_idx
         self._work = work
-        rel_folds = kfold_indices(len(work), folds_count, random_state)
-        self.folds = [FoldSplit(work[tr], work[va]) for tr, va in rel_folds]
         self._neg_cache: Optional[np.ndarray] = None
+        if stratified:
+            # stratify on mask emptiness (positive/negative), the label that
+            # matters for segmentation fold balance
+            labels = self._negativity()[work].astype(np.int64)
+            rel_folds = stratified_kfold_indices(
+                labels, folds_count, random_state)
+        else:
+            rel_folds = kfold_indices(len(work), folds_count, random_state)
+        self.folds = [FoldSplit(work[tr], work[va]) for tr, va in rel_folds]
 
     def __len__(self):
         return self.folds_count

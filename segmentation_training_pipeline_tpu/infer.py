@@ -240,6 +240,31 @@ def _np_metric(name: str, y: np.ndarray, p: np.ndarray, activation: str,
     raise KeyError(f"metric {name!r} not supported in host evaluate")
 
 
+def predict_to_csv(cfg: PipelineConfig, src, csv_path: str, folds=None,
+                   stage: int = -1, threshold: Optional[float] = None,
+                   batch_size: Optional[int] = None,
+                   id_column: str = "id", rle_column: str = "rle_mask") -> int:
+    """Kaggle-style RLE submission: one row per input id (reference-era
+    TGS-salt workflow; SURVEY §2a 'RLE / competition utils')."""
+    import csv as _csv
+
+    from .utils.rle import rle_encode
+
+    ds = DirectoryDataSet(src) if isinstance(src, str) else src
+    thr = cfg.threshold if threshold is None else threshold
+    n = 0
+    os.makedirs(os.path.dirname(os.path.abspath(csv_path)), exist_ok=True)
+    with open(csv_path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow([id_column, rle_column])
+        for item in predict_on_dataset(cfg, ds, folds=folds, stage=stage,
+                                       batch_size=batch_size):
+            mask = (item.prediction[:, :, 0] >= thr)
+            w.writerow([item.id, rle_encode(mask)])
+            n += 1
+    return n
+
+
 def evaluate(cfg: PipelineConfig, dataset: DataSet, folds=None,
              stage: int = -1, batch_size: Optional[int] = None,
              threshold: Optional[float] = None) -> Dict[str, float]:

@@ -1,0 +1,240 @@
+"""Pretrained encoder weights: converters into the Flax trees.
+
+Reference behavior: ``encoder_weights: imagenet`` makes segmentation_models
+download Keras .h5 backbones (SURVEY.md §3.4); that is the main accuracy
+lever.  This environment has no egress, so the subsystem is a converter
+that ingests weights **when a file is available** (SURVEY §7 hard part 1):
+
+  * ``encoder_weights: /path/to/resnet34.pt``  — torchvision-style torch
+    state dict (``conv1/bn1/layer{1..4}.{b}.conv{1..3}/bn{1..3}/
+    downsample.{0,1}`` naming), converted layout-correctly
+    (OIHW → HWIO) into the ResNet encoder tree;
+  * ``encoder_weights: /path/to/enc.npz``      — flat ``{'/'.join(path):
+    array}`` dump of our own encoder tree (produced by
+    :func:`export_encoder_npz`);
+  * ``encoder_weights: imagenet``              — looked up under
+    ``$STP_PRETRAINED_DIR`` (default ``~/.cache/stp_pretrained``) as
+    ``{backbone}.pt`` / ``{backbone}.npz``; a warning (not an error) when
+    absent, so from-scratch training proceeds — matching our parity
+    strategy of comparing from-scratch vs from-scratch.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+class PretrainedWeightsError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# torchvision-resnet naming → our ResNetEncoder tree
+# ---------------------------------------------------------------------------
+
+def _torch_conv(w) -> np.ndarray:
+    # torch OIHW → flax HWIO
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def convert_torch_resnet(state: Dict[str, Any],
+                         params_enc: Dict[str, Any],
+                         stats_enc: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    """Return (new encoder params, new encoder batch_stats) with values from
+    a torchvision-style resnet state dict.  Shapes are validated against the
+    target tree; any mismatch raises with the offending key."""
+    import copy
+
+    params = copy.deepcopy(jax_to_np(params_enc))
+    stats = copy.deepcopy(jax_to_np(stats_enc))
+
+    def put_conv(dst_mod: str, key: str):
+        w = _torch_conv(state[key])
+        tgt = params[dst_mod]["kernel"]
+        if tuple(tgt.shape) != w.shape:
+            raise PretrainedWeightsError(
+                f"{key}: shape {w.shape} != target {tuple(tgt.shape)}")
+        params[dst_mod]["kernel"] = w.astype(tgt.dtype)
+
+    def put_bn(dst_mod: str, prefix: str):
+        pairs = [("weight", params, "scale"), ("bias", params, "bias"),
+                 ("running_mean", stats, "mean"),
+                 ("running_var", stats, "var")]
+        for tkey, tree, fkey in pairs:
+            v = np.asarray(state[f"{prefix}.{tkey}"])
+            tgt = tree[dst_mod][fkey]
+            if tuple(tgt.shape) != v.shape:
+                raise PretrainedWeightsError(
+                    f"{prefix}.{tkey}: shape {v.shape} != {tuple(tgt.shape)}")
+            tree[dst_mod][fkey] = v.astype(tgt.dtype)
+
+    # stem
+    put_conv("stem_conv", "conv1.weight")
+    put_bn("stem_bn", "bn1")
+
+    # stages
+    for stage in range(1, 5):
+        b = 0
+        while f"layer{stage}.{b}.conv1.weight" in state:
+            mod = f"stage{stage}_block{b + 1}"
+            if mod not in params:
+                raise PretrainedWeightsError(
+                    f"state dict has layer{stage}.{b} but encoder has no {mod}"
+                    " — depth mismatch (wrong backbone?)")
+            blk_p = params[mod]
+            n_convs = 3 if "conv3" in blk_p else 2
+            for ci in range(1, n_convs + 1):
+                w = _torch_conv(state[f"layer{stage}.{b}.conv{ci}.weight"])
+                tgt = blk_p[f"conv{ci}"]["kernel"]
+                if tuple(tgt.shape) != w.shape:
+                    raise PretrainedWeightsError(
+                        f"layer{stage}.{b}.conv{ci}: {w.shape} != "
+                        f"{tuple(tgt.shape)}")
+                blk_p[f"conv{ci}"]["kernel"] = w.astype(tgt.dtype)
+                put_bn_mod = f"layer{stage}.{b}.bn{ci}"
+                for tkey, tree, fkey in [("weight", params, "scale"),
+                                         ("bias", params, "bias"),
+                                         ("running_mean", stats, "mean"),
+                                         ("running_var", stats, "var")]:
+                    v = np.asarray(state[f"{put_bn_mod}.{tkey}"])
+                    tree[mod][f"bn{ci}"][fkey] = v.astype(
+                        tree[mod][f"bn{ci}"][fkey].dtype)
+            if f"layer{stage}.{b}.downsample.0.weight" in state:
+                w = _torch_conv(state[f"layer{stage}.{b}.downsample.0.weight"])
+                blk_p["downsample"]["kernel"] = w.astype(
+                    blk_p["downsample"]["kernel"].dtype)
+                for tkey, tree, fkey in [("weight", params, "scale"),
+                                         ("bias", params, "bias"),
+                                         ("running_mean", stats, "mean"),
+                                         ("running_var", stats, "var")]:
+                    v = np.asarray(
+                        state[f"layer{stage}.{b}.downsample.1.{tkey}"])
+                    tree[mod]["bn_down"][fkey] = v.astype(
+                        tree[mod]["bn_down"][fkey].dtype)
+            b += 1
+        if b == 0:
+            raise PretrainedWeightsError(
+                f"state dict has no layer{stage} blocks — not a resnet?")
+    return params, stats
+
+
+def jax_to_np(tree):
+    import jax
+
+    return jax.tree.map(np.asarray, tree)
+
+
+# ---------------------------------------------------------------------------
+# npz round-trip of our own encoder tree
+# ---------------------------------------------------------------------------
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def export_encoder_npz(path: str, variables: Dict[str, Any]) -> None:
+    flat = {}
+    flat.update({f"params/{k}": v for k, v in
+                 _flatten(variables["params"]["encoder"]).items()})
+    flat.update({f"batch_stats/{k}": v for k, v in
+                 _flatten(variables.get("batch_stats", {}).get("encoder", {})
+                          ).items()})
+    np.savez(path, **flat)
+
+
+def _load_npz_into(path: str, params_enc, stats_enc):
+    import copy
+
+    data = np.load(path)
+    params = copy.deepcopy(jax_to_np(params_enc))
+    stats = copy.deepcopy(jax_to_np(stats_enc))
+
+    def apply(node, prefix):
+        for k in list(node.keys()):
+            key = f"{prefix}/{k}"
+            if isinstance(node[k], dict):
+                apply(node[k], key)
+            else:
+                if key not in data:
+                    raise PretrainedWeightsError(f"npz missing {key}")
+                v = data[key]
+                if v.shape != node[k].shape:
+                    raise PretrainedWeightsError(
+                        f"{key}: {v.shape} != {node[k].shape}")
+                node[k] = v.astype(node[k].dtype)
+
+    apply(params, "params")
+    if stats:
+        apply(stats, "batch_stats")
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+def load_encoder_weights(backbone: str, spec: str,
+                         variables: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+    """Resolve ``encoder_weights`` config → new variables (or None if the
+    spec was 'imagenet' and no local file exists)."""
+    path = spec
+    if spec in ("imagenet", "imagenet21k", "pascal_voc"):
+        root = os.environ.get(
+            "STP_PRETRAINED_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "stp_pretrained"))
+        for ext in (".pt", ".pth", ".npz"):
+            cand = os.path.join(root, backbone + ext)
+            if os.path.exists(cand):
+                path = cand
+                break
+        else:
+            warnings.warn(
+                f"encoder_weights={spec!r} requested but no local weights "
+                f"found under {root} for backbone {backbone!r}; training "
+                "from scratch.  Drop a torchvision-style state dict at "
+                f"{os.path.join(root, backbone + '.pt')} to enable.")
+            return None
+    if not os.path.exists(path):
+        raise PretrainedWeightsError(f"encoder weights file not found: {path}")
+
+    params_enc = variables["params"]["encoder"]
+    stats_enc = variables.get("batch_stats", {}).get("encoder", {})
+    if path.endswith(".npz"):
+        new_p, new_s = _load_npz_into(path, params_enc, stats_enc)
+    elif path.endswith((".pt", ".pth")):
+        import torch
+
+        state = torch.load(path, map_location="cpu", weights_only=True)
+        if hasattr(state, "state_dict"):
+            state = state.state_dict()
+        state = {k: v.numpy() if hasattr(v, "numpy") else v
+                 for k, v in state.items()}
+        if not backbone.startswith(("resnet", "seresnet")):
+            raise PretrainedWeightsError(
+                f"torch-format conversion implemented for the resnet family; "
+                f"got backbone {backbone!r} (use npz export instead)")
+        new_p, new_s = convert_torch_resnet(state, params_enc, stats_enc)
+    else:
+        raise PretrainedWeightsError(
+            f"unsupported weights format: {path} (want .pt/.pth/.npz)")
+
+    out = dict(variables)
+    out_params = dict(variables["params"])
+    out_params["encoder"] = new_p
+    out["params"] = out_params
+    if "batch_stats" in variables:
+        out_stats = dict(variables["batch_stats"])
+        out_stats["encoder"] = new_s
+        out["batch_stats"] = out_stats
+    return out

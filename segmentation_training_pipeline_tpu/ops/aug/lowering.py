@@ -234,8 +234,7 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
 
         imgs = images.astype(jnp.float32)
         if geo:
-            imgs = W.warp(imgs, mats, disp, method="bilinear")
-            masks = W.warp(masks, mats, disp, method="nearest")
+            imgs, masks = W.warp_joint(imgs, masks, mats, disp)
 
         for j, s in enumerate(photo):
             imgs, masks = _apply_photo(s, keys[len(geo) + j], imgs, masks)

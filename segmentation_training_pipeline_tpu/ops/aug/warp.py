@@ -209,6 +209,57 @@ def _gather2d(img: Array, iy: Array, ix: Array) -> Array:
     return jnp.take(flat, idx, axis=0).reshape(h, w, -1)
 
 
+def warp_joint(images: Array, masks: Array, mats: Array,
+               disp: Optional[Tuple[Array, Array]] = None,
+               fill: float = 0.0) -> Tuple[Array, Array]:
+    """One footprint gather for image AND mask channels together:
+    bilinear interpolation for the image channels, exact nearest-neighbor
+    for the mask channels (selected from the same (2,2) footprint by
+    rounding the fractional offsets).  Saves a whole second gather pass
+    and guarantees identical source coordinates by construction."""
+    b, h, w, c = images.shape
+    k = masks.shape[-1]
+    x_src, y_src = _source_coords(mats, h, w, disp)
+
+    joint = jnp.concatenate([images.astype(jnp.float32),
+                             masks.astype(jnp.float32)], axis=-1)
+    x0 = jnp.clip(jnp.floor(x_src), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(y_src), 0, h - 2)
+    fx = jnp.clip(x_src - x0, 0.0, 1.0)[..., None]
+    fy = jnp.clip(y_src - y0, 0.0, 1.0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    ck = c + k
+
+    def per_image(img, yy, xx):
+        starts = jnp.stack([yy.reshape(-1), xx.reshape(-1)], axis=-1)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            start_index_map=(0, 1))
+        return jax.lax.gather(img, starts, dn, slice_sizes=(2, 2, ck),
+                              mode=jax.lax.GatherScatterMode.CLIP)
+
+    pads = jax.vmap(per_image)(joint, y0i, x0i).reshape(b, h, w, 2, 2, ck)
+    img_pads = pads[..., :c]
+    out_img = ((1 - fy) * ((1 - fx) * img_pads[..., 0, 0, :]
+                           + fx * img_pads[..., 0, 1, :])
+               + fy * ((1 - fx) * img_pads[..., 1, 0, :]
+                       + fx * img_pads[..., 1, 1, :]))
+    # nearest for masks: pick the footprint corner by rounded offsets
+    mask_pads = pads[..., c:]
+    ry = (fy >= 0.5)
+    rx = (fx >= 0.5)
+    m00, m01 = mask_pads[..., 0, 0, :], mask_pads[..., 0, 1, :]
+    m10, m11 = mask_pads[..., 1, 0, :], mask_pads[..., 1, 1, :]
+    out_mask = jnp.where(ry, jnp.where(rx, m11, m10),
+                         jnp.where(rx, m01, m00))
+    oob = ((x_src < -0.5) | (x_src > w - 0.5)
+           | (y_src < -0.5) | (y_src > h - 0.5))[..., None]
+    out_img = jnp.where(oob, fill, out_img)
+    out_mask = jnp.where(oob, jnp.asarray(fill, out_mask.dtype), out_mask)
+    return out_img, out_mask.astype(masks.dtype)
+
+
 def warp(images: Array, mats: Array,
          disp: Optional[Tuple[Array, Array]] = None,
          method: str = "bilinear", fill: float = 0.0) -> Array:

@@ -48,56 +48,77 @@ def _flatten_spatial(x: Array) -> Array:
 # cross-entropies
 # ---------------------------------------------------------------------------
 
-def binary_crossentropy(y_true: Array, logits: Array, activation: str = "sigmoid") -> Array:
+def binary_crossentropy(y_true: Array, logits: Array, activation: str = "sigmoid",
+                        class_weights=None) -> Array:
     y = y_true.astype(jnp.float32)
     x = logits.astype(jnp.float32)
     # stable BCE-with-logits: max(x,0) - x*y + log1p(exp(-|x|))
     per = jnp.maximum(x, 0.0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)
+        return ((per * w).sum(-1) / w.sum()).mean()
     return per.mean()
 
 
-def categorical_crossentropy(y_true: Array, logits: Array, activation: str = "softmax") -> Array:
+def categorical_crossentropy(y_true: Array, logits: Array, activation: str = "softmax",
+                             class_weights=None) -> Array:
     y = y_true.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)
+        return -(w * y * logp).sum(axis=-1).mean() * (w.shape[0] / w.sum())
     return -(y * logp).sum(axis=-1).mean()
 
 
-def crossentropy(y_true: Array, logits: Array, activation: str = "sigmoid") -> Array:
+def crossentropy(y_true: Array, logits: Array, activation: str = "sigmoid",
+                 class_weights=None) -> Array:
     if activation == "softmax":
-        return categorical_crossentropy(y_true, logits, activation)
-    return binary_crossentropy(y_true, logits, activation)
+        return categorical_crossentropy(y_true, logits, activation, class_weights)
+    return binary_crossentropy(y_true, logits, activation, class_weights)
 
 
 # ---------------------------------------------------------------------------
 # region losses
 # ---------------------------------------------------------------------------
 
-def dice_loss(y_true: Array, logits: Array, activation: str = "sigmoid") -> Array:
+def dice_loss(y_true: Array, logits: Array, activation: str = "sigmoid",
+              class_weights=None) -> Array:
     p = _flatten_spatial(_probs(logits, activation))
     t = _flatten_spatial(y_true.astype(jnp.float32))
     inter = (p * t).sum(axis=1)                      # (B, C)
     denom = p.sum(axis=1) + t.sum(axis=1)
     dice = (2.0 * inter + _SMOOTH) / (denom + _SMOOTH)
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)
+        return 1.0 - ((dice * w).sum(-1) / w.sum()).mean()
     return 1.0 - dice.mean()
 
 
-def jaccard_loss(y_true: Array, logits: Array, activation: str = "sigmoid") -> Array:
+def jaccard_loss(y_true: Array, logits: Array, activation: str = "sigmoid",
+              class_weights=None) -> Array:
     p = _flatten_spatial(_probs(logits, activation))
     t = _flatten_spatial(y_true.astype(jnp.float32))
     inter = (p * t).sum(axis=1)
     union = p.sum(axis=1) + t.sum(axis=1) - inter
     iou = (inter + _SMOOTH) / (union + _SMOOTH)
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)
+        return 1.0 - ((iou * w).sum(-1) / w.sum()).mean()
     return 1.0 - iou.mean()
 
 
 def tversky_loss(y_true: Array, logits: Array, activation: str = "sigmoid",
-                 alpha: float = 0.5, beta: float = 0.5) -> Array:
+                 alpha: float = 0.5, beta: float = 0.5,
+                 class_weights=None) -> Array:
     p = _flatten_spatial(_probs(logits, activation))
     t = _flatten_spatial(y_true.astype(jnp.float32))
     tp = (p * t).sum(axis=1)
     fp = (p * (1 - t)).sum(axis=1)
     fn = ((1 - p) * t).sum(axis=1)
     tv = (tp + _SMOOTH) / (tp + alpha * fp + beta * fn + _SMOOTH)
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)
+        return 1.0 - ((tv * w).sum(-1) / w.sum()).mean()
     return 1.0 - tv.mean()
 
 
@@ -106,7 +127,8 @@ def tversky_loss(y_true: Array, logits: Array, activation: str = "sigmoid",
 # ---------------------------------------------------------------------------
 
 def binary_focal_loss(y_true: Array, logits: Array, activation: str = "sigmoid",
-                      gamma: float = 2.0, alpha: float = 0.25) -> Array:
+                      gamma: float = 2.0, alpha: float = 0.25,
+                      class_weights=None) -> Array:
     y = y_true.astype(jnp.float32)
     x = logits.astype(jnp.float32)
     p = jax.nn.sigmoid(x)
@@ -115,22 +137,33 @@ def binary_focal_loss(y_true: Array, logits: Array, activation: str = "sigmoid",
     log_not_p = jax.nn.log_sigmoid(-x)
     pos = -alpha * jnp.power(1.0 - p, gamma) * log_p
     neg = -(1.0 - alpha) * jnp.power(p, gamma) * log_not_p
-    return (y * pos + (1.0 - y) * neg).mean()
+    per = y * pos + (1.0 - y) * neg
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)
+        return ((per * w).sum(-1) / w.sum()).mean()
+    return per.mean()
 
 
 def categorical_focal_loss(y_true: Array, logits: Array, activation: str = "softmax",
-                           gamma: float = 2.0, alpha: float = 0.25) -> Array:
+                           gamma: float = 2.0, alpha: float = 0.25,
+                           class_weights=None) -> Array:
     y = y_true.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     p = jnp.exp(logp)
     per = -alpha * y * jnp.power(1.0 - p, gamma) * logp
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)
+        return (per * w).sum(axis=-1).mean() * (w.shape[0] / w.sum())
     return per.sum(axis=-1).mean()
 
 
-def focal_loss(y_true: Array, logits: Array, activation: str = "sigmoid") -> Array:
+def focal_loss(y_true: Array, logits: Array, activation: str = "sigmoid",
+               class_weights=None) -> Array:
     if activation == "softmax":
-        return categorical_focal_loss(y_true, logits, activation)
-    return binary_focal_loss(y_true, logits, activation)
+        return categorical_focal_loss(y_true, logits, activation,
+                                      class_weights=class_weights)
+    return binary_focal_loss(y_true, logits, activation,
+                             class_weights=class_weights)
 
 
 # ---------------------------------------------------------------------------
@@ -299,13 +332,26 @@ def validate_loss_expr(expr: str) -> None:
     parse_loss_expr(expr)
 
 
-def build_loss(expr: str, activation: str) -> Callable[[Array, Array], Array]:
-    """Compile a composite loss expression to a single (y_true, logits) -> scalar."""
+def build_loss(expr: str, activation: str,
+               class_weights=None) -> Callable[[Array, Array], Array]:
+    """Compile a composite loss expression to a single (y_true, logits) ->
+    scalar.  ``class_weights`` (YAML key, BASELINE config 3's class
+    balancing) reaches every term whose implementation supports it."""
+    import inspect
+
     terms = parse_loss_expr(expr)
+    bound = []
+    for w, name, fn in terms:
+        if (class_weights is not None
+                and "class_weights" in inspect.signature(fn).parameters):
+            import functools
+
+            fn = functools.partial(fn, class_weights=class_weights)
+        bound.append((w, name, fn))
 
     def loss_fn(y_true: Array, logits: Array) -> Array:
         total = 0.0
-        for w, _name, fn in terms:
+        for w, _name, fn in bound:
             total = total + w * fn(y_true, logits, activation)
         return total
 

@@ -102,6 +102,10 @@ def fit_pipeline(cfg: PipelineConfig, dataset,
     """Train all requested folds through all stages.  Returns per-(fold,
     stage) summary dicts (best metric, epochs run, checkpoint path)."""
     verbose = cfg.verbose if verbose is None else verbose
+    if cfg.debug:
+        # SURVEY §5 'race detection / sanitizers' analog: fail fast on the
+        # first non-finite value produced inside any jitted program
+        jax.config.update("jax_debug_nans", True)
     mesh = _gcd_mesh(cfg)
     model = model_from_config(cfg)
     metric_fns = _metric_fns(cfg)
@@ -121,6 +125,13 @@ def fit_pipeline(cfg: PipelineConfig, dataset,
         def ensure_variables(v, fold=fold):
             if v is None:
                 v = init_model(model, cfg.shape, seed=cfg.random_state + fold)
+                if cfg.encoder_weights:
+                    from ..models.pretrained import load_encoder_weights
+
+                    loaded = load_encoder_weights(
+                        cfg.backbone, cfg.encoder_weights, jax.device_get(v))
+                    if loaded is not None:
+                        v = loaded
             return jax.device_put(jax.device_get(v), replicated(mesh))
 
         frozen = cfg.freeze_encoder
@@ -153,7 +164,7 @@ def fit_pipeline(cfg: PipelineConfig, dataset,
 
             batch = stage.batch or cfg.batch
             loss_expr = stage.loss or cfg.loss
-            loss_fn = build_loss(loss_expr, cfg.activation)
+            loss_fn = build_loss(loss_expr, cfg.activation, cfg.class_weights)
             tx = build_optimizer(cfg, freeze_encoder=frozen)
             train_step = build_train_step(
                 model, tx, loss_fn, metric_fns, cfg.activation,
@@ -188,9 +199,20 @@ def fit_pipeline(cfg: PipelineConfig, dataset,
                       f"lr={base_lr} loss={loss_expr} frozen={frozen} "
                       f"batch={batch} mesh={n_dev}dev")
 
+            # SURVEY §5 tracing: optional jax.profiler capture of the first
+            # trained epoch (post-compile steps) → Perfetto-compatible trace
+            profile_dir = None
+            if cfg.profile:
+                profile_dir = (cfg.profile if isinstance(cfg.profile, str)
+                               else os.path.join(cfg.directory, "profile"))
+                profile_dir = os.path.join(profile_dir, f"fold{fold}.stage{si}")
+
             epochs_run = 0
             for epoch in range(stage.epochs):
                 t0 = time.time()
+                tracing = profile_dir is not None and epoch == 1
+                if tracing:  # epoch 1: compile noise from epoch 0 is gone
+                    jax.profiler.start_trace(profile_dir)
                 plan = kfold.epoch_indices(fold, epoch, negatives)
                 if stage.steps_per_epoch:
                     plan = plan[: stage.steps_per_epoch * batch]
@@ -214,11 +236,16 @@ def fit_pipeline(cfg: PipelineConfig, dataset,
                     val_logs.append(jax.device_get(eval_step(state, b)))
 
                 tl = jax.device_get(train_logs)
+                if tracing:
+                    jax.profiler.stop_trace()
+                    if verbose:
+                        print(f"  profiler trace written to {profile_dir}")
                 epoch_logs: Dict[str, float] = {
                     k: float(np.mean([d[k] for d in tl])) for k in tl[0]
                 } if tl else {}
                 for k, v in _weighted_epoch_mean(val_logs).items():
                     epoch_logs[f"val_{k}"] = v
+                epoch_logs["time"] = time.time() - t0
                 epochs_run = epoch + 1
 
                 if tracker.update(epoch_logs):

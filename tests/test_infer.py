@@ -96,6 +96,25 @@ class TestPredict:
         assert bundle.folds == [0]
 
 
+class TestPredictCSV:
+    def test_rle_submission(self, trained2, tmp_path):
+        cfg, ds, tmp = trained2
+        from segmentation_training_pipeline_tpu.utils.rle import rle_decode
+
+        path = str(tmp_path / "sub.csv")
+        n = cfg.predict_to_csv(ds, path)
+        assert n == len(ds)
+        rows = open(path).read().strip().split("\n")
+        assert rows[0] == "id,rle_mask"
+        assert len(rows) == len(ds) + 1
+        # decoded RLE must reproduce the thresholded prediction
+        rid, rle = rows[1].split(",", 1)
+        item = next(iter(cfg.predict_on_dataset(ds)))
+        want = item.prediction[:, :, 0] >= cfg.threshold
+        got = rle_decode(rle.strip('"'), want.shape)
+        assert (got == want).mean() > 0.99
+
+
 class TestCrops:
     def test_crop_split_prediction_shape(self, trained2):
         cfg, ds, tmp = trained2

@@ -1,0 +1,140 @@
+"""Pretrained-weights converter: torch-naming → Flax ResNet tree, npz
+round-trip, and the imagenet-miss warning path."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from segmentation_training_pipeline_tpu.models.factory import (
+    create_model,
+    init_model,
+)
+from segmentation_training_pipeline_tpu.models.pretrained import (
+    PretrainedWeightsError,
+    convert_torch_resnet,
+    export_encoder_npz,
+    load_encoder_weights,
+)
+
+
+@pytest.fixture(scope="module")
+def r18_vars():
+    m = create_model("Unet", "resnet18", classes=1, dtype="float32")
+    return jax.device_get(init_model(m, (32, 32, 3), seed=0))
+
+
+def _synthetic_torch_state(params_enc, stats_enc, seed=0):
+    """Build a torchvision-style resnet state dict whose values are random
+    but whose SHAPES are derived from our encoder tree (inverse mapping)."""
+    r = np.random.RandomState(seed)
+    state = {}
+
+    def conv_t(kern):  # flax HWIO -> torch OIHW
+        return np.transpose(r.randn(*kern.shape).astype(np.float32),
+                            (3, 2, 0, 1))
+
+    def add_bn(prefix, scale):
+        n = scale.shape[0]
+        state[f"{prefix}.weight"] = r.randn(n).astype(np.float32)
+        state[f"{prefix}.bias"] = r.randn(n).astype(np.float32)
+        state[f"{prefix}.running_mean"] = r.randn(n).astype(np.float32)
+        state[f"{prefix}.running_var"] = np.abs(r.randn(n)).astype(np.float32)
+
+    state["conv1.weight"] = conv_t(params_enc["stem_conv"]["kernel"])
+    add_bn("bn1", params_enc["stem_bn"]["scale"])
+    for stage in range(1, 5):
+        b = 0
+        while f"stage{stage}_block{b+1}" in params_enc:
+            blk = params_enc[f"stage{stage}_block{b+1}"]
+            n_convs = 3 if "conv3" in blk else 2
+            for ci in range(1, n_convs + 1):
+                state[f"layer{stage}.{b}.conv{ci}.weight"] = conv_t(
+                    blk[f"conv{ci}"]["kernel"])
+                add_bn(f"layer{stage}.{b}.bn{ci}", blk[f"bn{ci}"]["scale"])
+            if "downsample" in blk:
+                state[f"layer{stage}.{b}.downsample.0.weight"] = conv_t(
+                    blk["downsample"]["kernel"])
+                add_bn(f"layer{stage}.{b}.downsample.1",
+                       blk["bn_down"]["scale"])
+            b += 1
+    return state
+
+
+class TestTorchConvert:
+    def test_values_land_transposed(self, r18_vars):
+        p = r18_vars["params"]["encoder"]
+        s = r18_vars["batch_stats"]["encoder"]
+        state = _synthetic_torch_state(p, s)
+        new_p, new_s = convert_torch_resnet(state, p, s)
+        want = np.transpose(state["conv1.weight"], (2, 3, 1, 0))
+        np.testing.assert_array_equal(new_p["stem_conv"]["kernel"], want)
+        np.testing.assert_array_equal(new_s["stem_bn"]["mean"],
+                                      state["bn1.running_mean"])
+        w2 = np.transpose(state["layer2.0.downsample.0.weight"], (2, 3, 1, 0))
+        np.testing.assert_array_equal(
+            new_p["stage2_block1"]["downsample"]["kernel"], w2)
+
+    def test_wrong_depth_raises(self, r18_vars):
+        p = r18_vars["params"]["encoder"]
+        s = r18_vars["batch_stats"]["encoder"]
+        state = _synthetic_torch_state(p, s)
+        # add a block that resnet18 doesn't have
+        state["layer1.2.conv1.weight"] = state["layer1.0.conv1.weight"]
+        with pytest.raises(PretrainedWeightsError, match="depth mismatch"):
+            convert_torch_resnet(state, p, s)
+
+    def test_shape_mismatch_raises(self, r18_vars):
+        p = r18_vars["params"]["encoder"]
+        s = r18_vars["batch_stats"]["encoder"]
+        state = _synthetic_torch_state(p, s)
+        state["conv1.weight"] = np.zeros((64, 3, 3, 3), np.float32)  # wrong k
+        with pytest.raises(PretrainedWeightsError, match="conv1"):
+            convert_torch_resnet(state, p, s)
+
+
+class TestNpzRoundtrip:
+    def test_export_and_load(self, r18_vars, tmp_path):
+        path = str(tmp_path / "enc.npz")
+        export_encoder_npz(path, r18_vars)
+        # zero out the encoder, reload, and expect original values back
+        import copy
+
+        vars2 = copy.deepcopy(r18_vars)
+        vars2["params"]["encoder"] = jax.tree.map(
+            np.zeros_like, vars2["params"]["encoder"])
+        out = load_encoder_weights("resnet18", path, vars2)
+        a = jax.tree.leaves(out["params"]["encoder"])
+        b = jax.tree.leaves(r18_vars["params"]["encoder"])
+        assert all(np.array_equal(x, y) for x, y in zip(a, b))
+        # decoder untouched
+        assert out["params"]["decoder"] is vars2["params"]["decoder"]
+
+
+def test_imagenet_missing_warns_not_errors(r18_vars, tmp_path, monkeypatch):
+    monkeypatch.setenv("STP_PRETRAINED_DIR", str(tmp_path / "nothing"))
+    with pytest.warns(UserWarning, match="training .*from scratch|from "
+                                         "scratch"):
+        out = load_encoder_weights("resnet18", "imagenet", r18_vars)
+    assert out is None
+
+
+def test_missing_explicit_path_raises(r18_vars):
+    with pytest.raises(PretrainedWeightsError, match="not found"):
+        load_encoder_weights("resnet18", "/no/such/file.pt", r18_vars)
+
+
+def test_torch_pt_file_roundtrip(r18_vars, tmp_path):
+    torch = pytest.importorskip("torch")
+    p = r18_vars["params"]["encoder"]
+    s = r18_vars["batch_stats"]["encoder"]
+    state = {k: torch.from_numpy(np.asarray(v))
+             for k, v in _synthetic_torch_state(p, s).items()}
+    path = str(tmp_path / "resnet18.pt")
+    torch.save(state, path)
+    out = load_encoder_weights("resnet18", path, r18_vars)
+    want = np.transpose(state["conv1.weight"].numpy(), (2, 3, 1, 0))
+    np.testing.assert_array_equal(out["params"]["encoder"]["stem_conv"]["kernel"],
+                                  want)
