@@ -16,6 +16,7 @@ from .mobilenetv2 import MobileNetV2Encoder
 from .efficientnet import EfficientNetEncoder
 from .densenet import DenseNetEncoder
 from .xception import XceptionEncoder
+from .inception import InceptionV3Encoder, InceptionResNetV2Encoder
 
 # name → (module class, constructor kwargs)
 _SPECS: Dict[str, Tuple[Type, Dict[str, Any]]] = {
@@ -27,6 +28,15 @@ _SPECS: Dict[str, Tuple[Type, Dict[str, Any]]] = {
     "seresnet18": (SEResNetEncoder, dict(stage_sizes=(2, 2, 2, 2), bottleneck=False)),
     "seresnet34": (SEResNetEncoder, dict(stage_sizes=(3, 4, 6, 3), bottleneck=False)),
     "seresnet50": (SEResNetEncoder, dict(stage_sizes=(3, 4, 6, 3), bottleneck=True)),
+    # ResNeXt 32x4d (Xie et al. 2017): cardinality-32 grouped 3x3, 2x inner width
+    "resnext50": (ResNetEncoder, dict(stage_sizes=(3, 4, 6, 3), bottleneck=True,
+                                      groups=32, width_factor=2)),
+    "resnext101": (ResNetEncoder, dict(stage_sizes=(3, 4, 23, 3), bottleneck=True,
+                                       groups=32, width_factor=2)),
+    "seresnext50": (SEResNetEncoder, dict(stage_sizes=(3, 4, 6, 3), bottleneck=True,
+                                          groups=32, width_factor=2)),
+    "seresnext101": (SEResNetEncoder, dict(stage_sizes=(3, 4, 23, 3), bottleneck=True,
+                                           groups=32, width_factor=2)),
     "vgg16": (VGGEncoder, dict(stage_convs=(2, 2, 3, 3, 3))),
     "vgg19": (VGGEncoder, dict(stage_convs=(2, 2, 4, 4, 4))),
     "mobilenetv2": (MobileNetV2Encoder, {}),
@@ -34,6 +44,8 @@ _SPECS: Dict[str, Tuple[Type, Dict[str, Any]]] = {
     "densenet169": (DenseNetEncoder, dict(block_sizes=(6, 12, 32, 32))),
     "densenet201": (DenseNetEncoder, dict(block_sizes=(6, 12, 48, 32))),
     "xception": (XceptionEncoder, {}),
+    "inceptionv3": (InceptionV3Encoder, {}),
+    "inceptionresnetv2": (InceptionResNetV2Encoder, {}),
 }
 
 # EfficientNet B0-B7: (width_mult, depth_mult)

@@ -49,6 +49,8 @@ class Bottleneck(nn.Module):
     strides: Tuple[int, int]
     dtype: Dtype
     use_se: bool = False
+    groups: int = 1        # >1 → ResNeXt-style grouped 3x3 (Xie et al. 2017)
+    width_factor: int = 1  # ResNeXt widens the inner 3x3 (e.g. 32x4d → 2x)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -56,10 +58,12 @@ class Bottleneck(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name)
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False,
+        inner = self.features * self.width_factor
+        y = nn.Conv(inner, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         y = nn.relu(norm("bn1")(y))
-        y = nn.Conv(self.features, (3, 3), self.strides, padding="SAME",
+        y = nn.Conv(inner, (3, 3), self.strides, padding="SAME",
+                    feature_group_count=self.groups,
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = nn.relu(norm("bn2")(y))
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
@@ -80,6 +84,8 @@ class ResNetEncoder(nn.Module):
     width: int = 64
     dtype: Dtype = jnp.bfloat16
     use_se: bool = False
+    groups: int = 1        # ResNeXt cardinality (32 for resnext50_32x4d)
+    width_factor: int = 1  # ResNeXt inner-width multiplier (2 for 32x4d)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -97,8 +103,12 @@ class ResNetEncoder(nn.Module):
             features = self.width * (2 ** stage)
             for b in range(n_blocks):
                 strides = (2, 2) if (b == 0 and stage > 0) else (1, 1)
+                kw = {}
+                if self.bottleneck:
+                    kw = dict(groups=self.groups,
+                              width_factor=self.width_factor)
                 y = Block(features, strides, self.dtype, use_se=self.use_se,
-                          name=f"stage{stage+1}_block{b+1}")(y, train)
+                          name=f"stage{stage+1}_block{b+1}", **kw)(y, train)
             feats.append(y)  # C2..C5 at strides 4/8/16/32
         return feats
 
