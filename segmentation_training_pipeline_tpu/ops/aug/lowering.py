@@ -24,6 +24,7 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import fast_warp as FW
 from . import photometric as ph
 from . import warp as W
 
@@ -234,7 +235,13 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
 
         imgs = images.astype(jnp.float32)
         if geo:
-            imgs, masks = W.warp_joint(imgs, masks, mats, disp)
+            if disp is None:
+                # pure affine: gather-free multi-pass warp (rolls + MXU
+                # matmuls) — ~10x cheaper than the HBM footprint gather
+                imgs, masks = FW.warp_joint_multipass(imgs, masks, mats)
+            else:
+                # elastic displacement needs a true 2-D gather
+                imgs, masks = W.warp_joint(imgs, masks, mats, disp)
 
         for j, s in enumerate(photo):
             imgs, masks = _apply_photo(s, keys[len(geo) + j], imgs, masks)

@@ -98,9 +98,14 @@ class TestAffine:
         img = np.random.RandomState(3).rand(h, w).astype(np.float32) * 255
         theta = np.deg2rad(23.0)
         img = np.round(img)  # keep uint8 cast lossless vs the scipy oracle
-        oi, _ = _run([("Affine", {"rotate": 23.0})],
-                     img[None, :, :, None].astype(np.uint8),
-                     np.zeros((1, h, w, 1), np.float32))
+        # exact single-pass footprint gather (the elastic-path sampler);
+        # the multipass fast path is convention-checked in test_fast_warp
+        mats = W.rotation_about((w - 1) / 2.0, (h - 1) / 2.0,
+                                jnp.full((1,), theta, jnp.float32))
+        oi, _ = W.warp_joint(
+            jnp.asarray(img[None, :, :, None]),
+            jnp.zeros((1, h, w, 1), jnp.float32), mats)
+        oi = np.asarray(oi)
         # scipy: src = M @ dst + offset (same inverse-mapping convention)
         c, s = np.cos(theta), np.sin(theta)
         cx = cy = (w - 1) / 2.0
