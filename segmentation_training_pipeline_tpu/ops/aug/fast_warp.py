@@ -31,12 +31,25 @@ warp.warp_joint.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+
+def _use_pallas_shear() -> bool:
+    """Fused Pallas shear on real TPUs; XLA roll+select elsewhere.
+    Override with STP_PALLAS_SHEAR=0/1."""
+    env = os.environ.get("STP_PALLAS_SHEAR")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 # ---------------------------------------------------------------------------
@@ -138,8 +151,32 @@ def _shear_pass(img: Array, mask: Array, offs: Array, axis: int,
     """
     n = img.shape[axis]
     norig = n if orig_n is None else orig_n
-    joint = jnp.concatenate([img, mask.astype(img.dtype)], axis=-1)
     c = img.shape[-1]
+
+    if _use_pallas_shear():
+        from .pallas_shear import shear_pass_tpu
+
+        k = mask.shape[-1]
+        joint = jnp.concatenate([img, mask.astype(img.dtype)], axis=-1)
+        if axis == 2:   # roll along W: (B,H,W,C) -> (B,C,H,W)
+            x = joint.transpose(0, 3, 1, 2)
+        else:           # roll along H: (B,H,W,C) -> (B,C,W,H)
+            x = joint.transpose(0, 3, 2, 1)
+        kinds = jnp.asarray([0] * c + [1] * k, jnp.int32)
+        out = shear_pass_tpu(x, offs, kinds, norig=norig,
+                             src_shift=src_shift, fill=fill)
+        out = (out.transpose(0, 2, 3, 1) if axis == 2
+               else out.transpose(0, 3, 2, 1))
+        img_out, mask_out = out[..., :c], out[..., c:].astype(mask.dtype)
+        if out_slice is not None:
+            start, length = out_slice
+            img_out = jax.lax.slice_in_dim(img_out, start, start + length,
+                                           axis=axis)
+            mask_out = jax.lax.slice_in_dim(mask_out, start, start + length,
+                                            axis=axis)
+        return img_out, mask_out
+
+    joint = jnp.concatenate([img, mask.astype(img.dtype)], axis=-1)
 
     kfloor = jnp.floor(offs)
     frac = (offs - kfloor)

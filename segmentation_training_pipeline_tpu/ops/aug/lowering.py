@@ -240,8 +240,10 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
                 # matmuls) — ~10x cheaper than the HBM footprint gather
                 imgs, masks = FW.warp_joint_multipass(imgs, masks, mats)
             else:
-                # elastic displacement needs a true 2-D gather
-                imgs, masks = W.warp_joint(imgs, masks, mats, disp)
+                # elastic displacement needs a true 2-D gather; u8 taps are
+                # lossless here (pre-photometric: integer-valued channels)
+                imgs, masks = W.warp_joint(imgs, masks, mats, disp,
+                                           gather_u8=True)
 
         for j, s in enumerate(photo):
             imgs, masks = _apply_photo(s, keys[len(geo) + j], imgs, masks)

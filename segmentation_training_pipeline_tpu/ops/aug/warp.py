@@ -14,9 +14,11 @@ Bilinear samples for images, nearest for masks — from the *same*
 coordinates, so the mask always receives exactly the image's transform
 (imgaug's joint image+segmentation-map guarantee, by construction).
 
-The gather is expressed as `jnp.take` over flattened (H*W) indices, which
-XLA:TPU lowers to an efficient dynamic-gather; a Pallas specialization for
-the common flip/rot90-only path lives in pallas_kernels.py.
+This module holds the EXACT single-pass sampler (footprint gather) — the
+only path that supports elastic displacement fields (true 2-D gather).
+Pure-affine batches route through fast_warp.warp_joint_multipass instead
+(gather-free shear/scale decomposition; Pallas-fused shear kernel in
+pallas_shear.py), which is ~5x faster on TPU.
 """
 
 from __future__ import annotations
@@ -211,18 +213,24 @@ def _gather2d(img: Array, iy: Array, ix: Array) -> Array:
 
 def warp_joint(images: Array, masks: Array, mats: Array,
                disp: Optional[Tuple[Array, Array]] = None,
-               fill: float = 0.0) -> Tuple[Array, Array]:
+               fill: float = 0.0, gather_u8: bool = False) -> Tuple[Array, Array]:
     """One footprint gather for image AND mask channels together:
     bilinear interpolation for the image channels, exact nearest-neighbor
     for the mask channels (selected from the same (2,2) footprint by
     rounding the fractional offsets).  Saves a whole second gather pass
-    and guarantees identical source coordinates by construction."""
+    and guarantees identical source coordinates by construction.
+
+    ``gather_u8``: gather uint8 instead of float32 — 4x less random-access
+    HBM traffic.  Lossless ONLY when image values are integers in [0, 255]
+    and mask values are integers in [0, 255] (true inside the augmentation
+    pipeline: images come straight from uint8 decode, masks are one-hot)."""
     b, h, w, c = images.shape
     k = masks.shape[-1]
     x_src, y_src = _source_coords(mats, h, w, disp)
 
-    joint = jnp.concatenate([images.astype(jnp.float32),
-                             masks.astype(jnp.float32)], axis=-1)
+    gdt = jnp.uint8 if gather_u8 else jnp.float32
+    joint = jnp.concatenate([images.astype(gdt),
+                             masks.astype(gdt)], axis=-1)
     x0 = jnp.clip(jnp.floor(x_src), 0, w - 2)
     y0 = jnp.clip(jnp.floor(y_src), 0, h - 2)
     fx = jnp.clip(x_src - x0, 0.0, 1.0)[..., None]
@@ -240,7 +248,7 @@ def warp_joint(images: Array, masks: Array, mats: Array,
                               mode=jax.lax.GatherScatterMode.CLIP)
 
     pads = jax.vmap(per_image)(joint, y0i, x0i).reshape(b, h, w, 2, 2, ck)
-    img_pads = pads[..., :c]
+    img_pads = pads[..., :c].astype(jnp.float32)
     out_img = ((1 - fy) * ((1 - fx) * img_pads[..., 0, 0, :]
                            + fx * img_pads[..., 0, 1, :])
                + fy * ((1 - fx) * img_pads[..., 1, 0, :]
