@@ -43,9 +43,11 @@ def main():
     from segmentation_training_pipeline_tpu.train.step import (
         build_train_step, create_train_state)
 
-    BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+    # Throughput config: B128 saturates the chip (B16 leaves ~45% idle in
+    # fixed per-step overhead: 164 -> 290 img/s measured on v5e; B192 OOMs).
+    BATCH = int(os.environ.get("BENCH_BATCH", "128"))
     H = W = int(os.environ.get("BENCH_SIZE", "512"))
-    STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+    STEPS = int(os.environ.get("BENCH_STEPS", "10"))
     WARMUP = 3
 
     cfg = parse_dict(dict(
@@ -54,8 +56,9 @@ def main():
         optimizer="Adam", lr=1e-3, dtype="bfloat16",
         augmentation={"Fliplr": 0.5},
     ))
+    remat = os.environ.get("BENCH_REMAT", "0") not in ("0", "false")
     model = create_model(cfg.architecture, cfg.backbone, classes=cfg.classes,
-                         dtype=cfg.dtype)
+                         dtype=cfg.dtype, remat=remat)
     variables = init_model(model, (H, W, 3), seed=0)
     tx = build_optimizer(cfg)
     loss_fn = build_loss(cfg.loss, cfg.activation)
