@@ -223,11 +223,18 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
                 k1, k2, k3 = jax.random.split(k, 3)
                 alpha = _sample(k1, a.get("alpha", 20.0), b)
                 sigma = _sample(k2, a.get("sigma", 5.0), b)
-                radius = int(max(4, 2 * float(jnp.max(jnp.asarray(
-                    a.get("sigma", 5.0))).item() if not isinstance(
-                    a.get("sigma", 5.0), (int, float))
-                    else a.get("sigma", 5.0))))
-                dx, dy = W.elastic_field(k3, b, h, w, alpha, sigma, radius)
+                sig_spec = a.get("sigma", 5.0)
+                sig_max = (float(jnp.max(jnp.asarray(sig_spec)).item())
+                           if not isinstance(sig_spec, (int, float))
+                           else float(sig_spec))
+                sig_min = (float(jnp.min(jnp.asarray(sig_spec)).item())
+                           if not isinstance(sig_spec, (int, float))
+                           else float(sig_spec))
+                radius = int(max(4, 2 * sig_max))
+                # quarter-res field when the blur makes it lossless-ish
+                stride = 4 if sig_min >= 2.0 else 1
+                dx, dy = W.elastic_field(k3, b, h, w, alpha, sigma, radius,
+                                         stride=stride)
                 if disp is None:
                     disp = (dx, dy)
                 else:

@@ -171,13 +171,28 @@ def smooth_field(field: Array, sigma: Array, radius: int = 8) -> Array:
 
 
 def elastic_field(rng: Array, b: int, h: int, w: int, alpha: Array,
-                  sigma: Array, radius: int = 8) -> Tuple[Array, Array]:
-    """→ (dx, dy) each (B, H, W): smoothed uniform noise scaled by alpha."""
+                  sigma: Array, radius: int = 8,
+                  stride: int = 1) -> Tuple[Array, Array]:
+    """→ (dx, dy) each (B, H, W): smoothed uniform noise scaled by alpha.
+
+    ``stride`` > 1 generates the field at (h/stride, w/stride) and
+    bilinearly upsamples — the field is a sigma-blurred low-pass signal,
+    so for sigma ≥ stride/2 the result is visually identical while the
+    smoothing convs + noise generation shrink by stride².  (The lowering
+    picks stride=4 when the config's minimum sigma allows it.)"""
     kx, ky = jax.random.split(rng)
-    raw_x = jax.random.uniform(kx, (b, h, w), minval=-1.0, maxval=1.0)
-    raw_y = jax.random.uniform(ky, (b, h, w), minval=-1.0, maxval=1.0)
-    dx = smooth_field(raw_x, sigma, radius) * alpha[:, None, None]
-    dy = smooth_field(raw_y, sigma, radius) * alpha[:, None, None]
+    if stride > 1 and min(h, w) // stride <= 2 * max(2, radius // stride):
+        stride = 1  # too small for the low-res path (reflect pad needs room)
+    hs, ws = max(1, h // stride), max(1, w // stride)
+    raw_x = jax.random.uniform(kx, (b, hs, ws), minval=-1.0, maxval=1.0)
+    raw_y = jax.random.uniform(ky, (b, hs, ws), minval=-1.0, maxval=1.0)
+    sig = sigma / float(stride)
+    rad = max(2, radius // stride)
+    dx = smooth_field(raw_x, sig, rad) * alpha[:, None, None]
+    dy = smooth_field(raw_y, sig, rad) * alpha[:, None, None]
+    if stride > 1:
+        dx = jax.image.resize(dx, (b, h, w), "bilinear")
+        dy = jax.image.resize(dy, (b, h, w), "bilinear")
     return dx, dy
 
 
