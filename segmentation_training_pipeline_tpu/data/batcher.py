@@ -91,17 +91,33 @@ def prepare_mask(y: Optional[np.ndarray], shape, classes: int,
 def _masks_u8_to_float(masks_u8: np.ndarray, classes: int,
                        activation: str) -> np.ndarray:
     """(B, H, W) u8 decoded masks → (B, H, W, classes) float32, matching
-    prepare_mask's binary/{0,255}/class-index semantics (vectorized)."""
+    prepare_mask's binary/{0,255}/class-index semantics (vectorized,
+    PER-ITEM thresholds — a batch may mix {0,1} and {0,255} masks)."""
+    per_max = masks_u8.reshape(masks_u8.shape[0], -1).max(axis=1)
     if activation == "softmax" and classes > 1:
         idx = masks_u8.astype(np.int64)
-        if idx.max() > classes - 1 and idx.max() > 1:
-            idx = (idx > 127).astype(np.int64)
+        is_255 = (per_max > classes - 1) & (per_max > 1)
+        idx = np.where(is_255[:, None, None],
+                       (masks_u8 > 127).astype(np.int64), idx)
         out = np.zeros((*masks_u8.shape, classes), np.float32)
         np.put_along_axis(out, idx[..., None], 1.0, axis=-1)
         return out
-    m = (masks_u8 > 127) if masks_u8.max() > 1.5 else (masks_u8 > 0)
+    m = np.where((per_max > 1.5)[:, None, None],
+                 masks_u8 > 127, masks_u8 > 0)
     m = m[..., None].astype(np.float32)
     return np.repeat(m, classes, axis=-1) if classes > 1 else m
+
+
+def _paths_available(dataset, probe_idx: int) -> bool:
+    """True iff the dataset really serves file paths (wrappers like
+    SubDataSet define image_path unconditionally but their parent may
+    not — probe instead of trusting hasattr)."""
+    if not (hasattr(dataset, "image_path") and hasattr(dataset, "mask_path")):
+        return False
+    try:
+        return dataset.image_path(probe_idx) is not None
+    except Exception:
+        return False
 
 
 _NATIVE_LOADER = None
@@ -135,9 +151,9 @@ def make_batches(dataset: DataSet, indices: Sequence[int], shape, classes: int,
     if n == 0:
         return
     h, w, c = shape
-    use_native = (hasattr(dataset, "image_path")
-                  and hasattr(dataset, "mask_path")
-                  and _native_loader() is not None)
+    use_native = (c in (1, 3)  # the C++ decoder emits gray or BGR only
+                  and _native_loader() is not None
+                  and _paths_available(dataset, int(idx[0])))
     for start in range(0, n, batch_size):
         sel = idx[start : start + batch_size]
         n_real = len(sel)

@@ -259,7 +259,12 @@ def predict_to_csv(cfg: PipelineConfig, src, csv_path: str, folds=None,
         w.writerow([id_column, rle_column])
         for item in predict_on_dataset(cfg, ds, folds=folds, stage=stage,
                                        batch_size=batch_size):
-            mask = (item.prediction[:, :, 0] >= thr)
+            if cfg.activation == "softmax" and cfg.classes > 1:
+                # channel 0 is background: foreground = argmax != 0
+                # (mirrors predict_all_to_dir's softmax handling)
+                mask = item.prediction.argmax(axis=-1) > 0
+            else:
+                mask = (item.prediction[:, :, 0] >= thr)
             w.writerow([item.id, rle_encode(mask)])
             n += 1
     return n

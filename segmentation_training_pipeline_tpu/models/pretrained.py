@@ -52,29 +52,31 @@ def convert_torch_resnet(state: Dict[str, Any],
     params = copy.deepcopy(jax_to_np(params_enc))
     stats = copy.deepcopy(jax_to_np(stats_enc))
 
-    def put_conv(dst_mod: str, key: str):
+    def put_conv(dst: Dict[str, Any], key: str):
+        """dst: the conv param subtree (holds 'kernel'); validates shape."""
         w = _torch_conv(state[key])
-        tgt = params[dst_mod]["kernel"]
+        tgt = dst["kernel"]
         if tuple(tgt.shape) != w.shape:
             raise PretrainedWeightsError(
                 f"{key}: shape {w.shape} != target {tuple(tgt.shape)}")
-        params[dst_mod]["kernel"] = w.astype(tgt.dtype)
+        dst["kernel"] = w.astype(tgt.dtype)
 
-    def put_bn(dst_mod: str, prefix: str):
-        pairs = [("weight", params, "scale"), ("bias", params, "bias"),
-                 ("running_mean", stats, "mean"),
-                 ("running_var", stats, "var")]
+    def put_bn(dst_p: Dict[str, Any], dst_s: Dict[str, Any], prefix: str):
+        """dst_p/dst_s: the BN param/stats subtrees; validates shapes."""
+        pairs = [("weight", dst_p, "scale"), ("bias", dst_p, "bias"),
+                 ("running_mean", dst_s, "mean"),
+                 ("running_var", dst_s, "var")]
         for tkey, tree, fkey in pairs:
             v = np.asarray(state[f"{prefix}.{tkey}"])
-            tgt = tree[dst_mod][fkey]
+            tgt = tree[fkey]
             if tuple(tgt.shape) != v.shape:
                 raise PretrainedWeightsError(
                     f"{prefix}.{tkey}: shape {v.shape} != {tuple(tgt.shape)}")
-            tree[dst_mod][fkey] = v.astype(tgt.dtype)
+            tree[fkey] = v.astype(tgt.dtype)
 
     # stem
-    put_conv("stem_conv", "conv1.weight")
-    put_bn("stem_bn", "bn1")
+    put_conv(params["stem_conv"], "conv1.weight")
+    put_bn(params["stem_bn"], stats["stem_bn"], "bn1")
 
     # stages
     for stage in range(1, 5):
@@ -85,36 +87,18 @@ def convert_torch_resnet(state: Dict[str, Any],
                 raise PretrainedWeightsError(
                     f"state dict has layer{stage}.{b} but encoder has no {mod}"
                     " — depth mismatch (wrong backbone?)")
-            blk_p = params[mod]
+            blk_p, blk_s = params[mod], stats[mod]
             n_convs = 3 if "conv3" in blk_p else 2
             for ci in range(1, n_convs + 1):
-                w = _torch_conv(state[f"layer{stage}.{b}.conv{ci}.weight"])
-                tgt = blk_p[f"conv{ci}"]["kernel"]
-                if tuple(tgt.shape) != w.shape:
-                    raise PretrainedWeightsError(
-                        f"layer{stage}.{b}.conv{ci}: {w.shape} != "
-                        f"{tuple(tgt.shape)}")
-                blk_p[f"conv{ci}"]["kernel"] = w.astype(tgt.dtype)
-                put_bn_mod = f"layer{stage}.{b}.bn{ci}"
-                for tkey, tree, fkey in [("weight", params, "scale"),
-                                         ("bias", params, "bias"),
-                                         ("running_mean", stats, "mean"),
-                                         ("running_var", stats, "var")]:
-                    v = np.asarray(state[f"{put_bn_mod}.{tkey}"])
-                    tree[mod][f"bn{ci}"][fkey] = v.astype(
-                        tree[mod][f"bn{ci}"][fkey].dtype)
+                put_conv(blk_p[f"conv{ci}"],
+                         f"layer{stage}.{b}.conv{ci}.weight")
+                put_bn(blk_p[f"bn{ci}"], blk_s[f"bn{ci}"],
+                       f"layer{stage}.{b}.bn{ci}")
             if f"layer{stage}.{b}.downsample.0.weight" in state:
-                w = _torch_conv(state[f"layer{stage}.{b}.downsample.0.weight"])
-                blk_p["downsample"]["kernel"] = w.astype(
-                    blk_p["downsample"]["kernel"].dtype)
-                for tkey, tree, fkey in [("weight", params, "scale"),
-                                         ("bias", params, "bias"),
-                                         ("running_mean", stats, "mean"),
-                                         ("running_var", stats, "var")]:
-                    v = np.asarray(
-                        state[f"layer{stage}.{b}.downsample.1.{tkey}"])
-                    tree[mod]["bn_down"][fkey] = v.astype(
-                        tree[mod]["bn_down"][fkey].dtype)
+                put_conv(blk_p["downsample"],
+                         f"layer{stage}.{b}.downsample.0.weight")
+                put_bn(blk_p["bn_down"], blk_s["bn_down"],
+                       f"layer{stage}.{b}.downsample.1")
             b += 1
         if b == 0:
             raise PretrainedWeightsError(

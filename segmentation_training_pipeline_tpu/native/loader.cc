@@ -78,15 +78,29 @@ struct Loader {
 };
 
 // Decode one image file into out (H*W*C u8, RGB or grayscale).
-// Returns 0 on success.
+// Returns 0 on success.  Only C==1 and C==3 are supported (the Python
+// binding enforces this; guard again here so a mismatch can never memcpy
+// past the Mat's buffer).
 int decode_image(const char* path, int H, int W, int C, unsigned char* out) {
-  cv::Mat img = cv::imread(path, C == 1 ? cv::IMREAD_GRAYSCALE
-                                        : cv::IMREAD_COLOR);
+  if (C != 1 && C != 3) return 1;
+  cv::Mat img = cv::imread(path, cv::IMREAD_COLOR);
   if (img.empty()) return 1;
   if (img.rows != H || img.cols != W) {
     cv::resize(img, img, cv::Size(W, H), 0, 0, cv::INTER_LINEAR);
   }
-  if (C == 3) cv::cvtColor(img, img, cv::COLOR_BGR2RGB);
+  if (C == 1) {
+    // match the Python path (prepare_image): UNWEIGHTED channel mean,
+    // not ITU-R luma — training/inference must see identical pixels
+    cv::Mat f;
+    img.convertTo(f, CV_32FC3);
+    cv::Mat chans[3];
+    cv::split(f, chans);
+    cv::Mat mean = (chans[0] + chans[1] + chans[2]) / 3.0f;
+    mean.convertTo(img, CV_8UC1);
+  } else {
+    cv::cvtColor(img, img, cv::COLOR_BGR2RGB);
+  }
+  if (img.channels() != C) return 1;
   if (!img.isContinuous()) img = img.clone();
   std::memcpy(out, img.data, (size_t)H * W * C);
   return 0;

@@ -337,7 +337,6 @@ def warp_joint_multipass(images: Array, masks: Array, mats: Array,
     py = int(math.ceil(h * pad_frac))
 
     # pass 1: x-shear (src_x = x + s1·(y-cy)) on an x-padded canvas
-    fillv = jnp.asarray(fill)
     img = jnp.pad(img, ((0, 0), (0, 0), (px, px), (0, 0)),
                   constant_values=fill).astype(images.dtype)
     msk = jnp.pad(msk, ((0, 0), (0, 0), (px, px), (0, 0)),

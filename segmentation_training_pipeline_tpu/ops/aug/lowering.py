@@ -129,6 +129,30 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
             return False
         return shape_square or "rot90" not in names
 
+    def _multipass_ok(shape_square: bool) -> bool:
+        """The 3-pass warp extracts rot90s only on square frames; on
+        non-square frames its shear/scale factorization degenerates as
+        the rotation approaches 90 deg.  Decide from the STATIC spec:
+        square is always fine; non-square is fine iff there is no rot90
+        and the affine rotation range stays well below 90 deg."""
+        if shape_square:
+            return True
+        for s in geo:
+            name = s["name"].lower()
+            if name == "rot90":
+                return False
+            if name == "affine":
+                rot = (s.get("args") or {}).get("rotate")
+                if rot is None:
+                    continue
+                vals = rot if isinstance(rot, (list, tuple)) else [rot]
+                try:
+                    if max(abs(float(v)) for v in vals) >= 60.0:
+                        return False
+                except (TypeError, ValueError):
+                    return False
+        return True
+
     def aug_fn(rng: Array, images: Array, masks: Array):
         b, h, w = images.shape[0], images.shape[1], images.shape[2]
         cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
@@ -242,13 +266,15 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
 
         imgs = images.astype(jnp.float32)
         if geo:
-            if disp is None:
+            if disp is None and _multipass_ok(h == w):
                 # pure affine: gather-free multi-pass warp (rolls + MXU
                 # matmuls) — ~10x cheaper than the HBM footprint gather
                 imgs, masks = FW.warp_joint_multipass(imgs, masks, mats)
             else:
-                # elastic displacement needs a true 2-D gather; u8 taps are
-                # lossless here (pre-photometric: integer-valued channels)
+                # elastic displacement (true 2-D gather) or a non-square
+                # frame with >=90-deg rotations (multipass would
+                # degenerate); u8 taps are lossless here
+                # (pre-photometric: integer-valued channels)
                 imgs, masks = W.warp_joint(imgs, masks, mats, disp,
                                            gather_u8=True)
 

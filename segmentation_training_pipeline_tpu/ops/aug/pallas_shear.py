@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _shear_kernel(offs_ref, kind_ref, x_ref, out_ref, *, axis_is_lanes: bool,
+def _shear_kernel(offs_ref, kind_ref, x_ref, out_ref, *,
                   n: int, norig: int, src_shift: int, fill: float,
                   nbits: int):
     """One (line-tile × full-roll-axis) block.
@@ -91,7 +91,7 @@ def shear_pass_tpu(x_bchw: Array, offs: Array, kinds: Array,
     nbits = max(1, (n - 1).bit_length())
 
     kern = functools.partial(
-        _shear_kernel, axis_is_lanes=True, n=n, norig=norig,
+        _shear_kernel, n=n, norig=norig,
         src_shift=src_shift, fill=fill, nbits=nbits)
 
     grid = (b, c, l // t)

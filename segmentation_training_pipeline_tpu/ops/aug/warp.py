@@ -188,8 +188,19 @@ def elastic_field(rng: Array, b: int, h: int, w: int, alpha: Array,
     raw_y = jax.random.uniform(ky, (b, hs, ws), minval=-1.0, maxval=1.0)
     sig = sigma / float(stride)
     rad = max(2, radius // stride)
-    dx = smooth_field(raw_x, sig, rad) * alpha[:, None, None]
-    dy = smooth_field(raw_y, sig, rad) * alpha[:, None, None]
+    amp = alpha
+    if stride > 1:
+        # Smoothing iid noise with a normalized kernel k leaves the field
+        # with std ∝ ||k||₂² (separable 2-D), so the narrower low-res
+        # kernel yields a ~stride× HOTTER field for the same alpha.
+        # Rescale by the exact norm ratio so displacement statistics
+        # match the full-res path.
+        k_full = _gaussian_kernel1d(sigma, radius)
+        k_low = _gaussian_kernel1d(sig, rad)
+        ratio = ((k_full ** 2).sum(axis=1) / (k_low ** 2).sum(axis=1))
+        amp = alpha * ratio  # (B,)
+    dx = smooth_field(raw_x, sig, rad) * amp[:, None, None]
+    dy = smooth_field(raw_y, sig, rad) * amp[:, None, None]
     if stride > 1:
         dx = jax.image.resize(dx, (b, h, w), "bilinear")
         dy = jax.image.resize(dy, (b, h, w), "bilinear")

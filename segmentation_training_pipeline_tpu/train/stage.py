@@ -101,11 +101,27 @@ def fit_pipeline(cfg: PipelineConfig, dataset,
                  verbose: Optional[int] = None) -> Dict[str, Dict]:
     """Train all requested folds through all stages.  Returns per-(fold,
     stage) summary dicts (best metric, epochs run, checkpoint path)."""
+    if not cfg.debug:
+        return _fit_pipeline(cfg, dataset, foldsToExecute, start_from_stage,
+                             drop_incomplete, verbose)
+    # SURVEY §5 'race detection / sanitizers' analog: fail fast on the
+    # first non-finite value in any jitted program — scoped to this fit
+    # so other configs in the process don't inherit the global flag
+    prev = bool(jax.config.jax_debug_nans)
+    jax.config.update("jax_debug_nans", True)
+    try:
+        return _fit_pipeline(cfg, dataset, foldsToExecute, start_from_stage,
+                             drop_incomplete, verbose)
+    finally:
+        jax.config.update("jax_debug_nans", prev)
+
+
+def _fit_pipeline(cfg: PipelineConfig, dataset,
+                  foldsToExecute: Optional[Sequence[int]] = None,
+                  start_from_stage: int = 0,
+                  drop_incomplete: bool = False,
+                  verbose: Optional[int] = None) -> Dict[str, Dict]:
     verbose = cfg.verbose if verbose is None else verbose
-    if cfg.debug:
-        # SURVEY §5 'race detection / sanitizers' analog: fail fast on the
-        # first non-finite value produced inside any jitted program
-        jax.config.update("jax_debug_nans", True)
     mesh = _gcd_mesh(cfg)
     model = model_from_config(cfg)
     metric_fns = _metric_fns(cfg)
@@ -210,8 +226,11 @@ def fit_pipeline(cfg: PipelineConfig, dataset,
             epochs_run = 0
             for epoch in range(stage.epochs):
                 t0 = time.time()
-                tracing = profile_dir is not None and epoch == 1
-                if tracing:  # epoch 1: compile noise from epoch 0 is gone
+                # trace epoch 1 (epoch 0 is compile noise) — unless the
+                # stage only has one epoch, then trace what exists
+                tracing = profile_dir is not None and (
+                    epoch == 1 or (stage.epochs == 1 and epoch == 0))
+                if tracing:
                     jax.profiler.start_trace(profile_dir)
                 plan = kfold.epoch_indices(fold, epoch, negatives)
                 if stage.steps_per_epoch:

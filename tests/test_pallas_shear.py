@@ -47,7 +47,6 @@ def test_integer_offsets_exact():
     img = jnp.asarray(rng.rand(B, H, W, 1).astype(np.float32))
     msk = img
     offs = jnp.asarray(rng.randint(-8, 8, (B, H)).astype(np.float32))
-    oi, _, pi, _ = None, None, None, None
     o_img, _ = _shear_pass(img, msk, offs, axis=2, fill=0.0)
     joint = img.transpose(0, 3, 1, 2)
     out = shear_pass_tpu(joint, offs, jnp.zeros((1,), jnp.int32),
