@@ -24,9 +24,27 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+import math
+import os
+
+import numpy as np
+
 from . import fast_warp as FW
+from . import pallas_elastic as PE
 from . import photometric as ph
 from . import warp as W
+
+
+def _use_pallas_elastic() -> bool:
+    """Bounded-displacement Pallas elastic on real TPUs; exact footprint
+    gather elsewhere.  Override with STP_PALLAS_ELASTIC=0/1."""
+    env = os.environ.get("STP_PALLAS_ELASTIC")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 Array = jax.Array
 
@@ -168,6 +186,7 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
 
         mats = W.identity_mats(b)
         disp: Optional[Tuple[Array, Array]] = None
+        disp_bound = 0.0  # static 6-sigma bound on |disp| (Pallas K)
 
         for i, s in enumerate(geo):
             name = s["name"].lower()
@@ -247,14 +266,23 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
                 k1, k2, k3 = jax.random.split(k, 3)
                 alpha = _sample(k1, a.get("alpha", 20.0), b)
                 sigma = _sample(k2, a.get("sigma", 5.0), b)
-                sig_spec = a.get("sigma", 5.0)
-                sig_max = (float(jnp.max(jnp.asarray(sig_spec)).item())
-                           if not isinstance(sig_spec, (int, float))
-                           else float(sig_spec))
-                sig_min = (float(jnp.min(jnp.asarray(sig_spec)).item())
-                           if not isinstance(sig_spec, (int, float))
-                           else float(sig_spec))
+                # static (host) reductions of the YAML ranges — these run
+                # under jit tracing, so plain Python only (no jnp)
+                def _bounds(spec, default):
+                    if spec is None:
+                        spec = default
+                    if isinstance(spec, (int, float)):
+                        return float(spec), float(spec)
+                    vals = [float(v) for v in np.asarray(spec).ravel()]
+                    return min(vals), max(vals)
+
+                _, a_max = _bounds(a.get("alpha"), 20.0)
+                sig_min, sig_max = _bounds(a.get("sigma"), 5.0)
                 radius = int(max(4, 2 * sig_max))
+                # static 6-sigma displacement bound for the Pallas kernel:
+                # smoothed-noise std ≈ alpha / (2·sqrt(pi)·sigma)
+                disp_bound += (6.0 * a_max / (2.0 * math.sqrt(math.pi)
+                                              * max(sig_min, 0.5)) + 1.0)
                 # quarter-res field when the blur makes it lossless-ish
                 stride = 4 if sig_min >= 2.0 else 1
                 dx, dy = W.elastic_field(k3, b, h, w, alpha, sigma, radius,
@@ -266,15 +294,34 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
 
         imgs = images.astype(jnp.float32)
         if geo:
+            kbound = int(math.ceil(disp_bound * 1.4)) + 2  # A⁻¹ margin
             if disp is None and _multipass_ok(h == w):
                 # pure affine: gather-free multi-pass warp (rolls + MXU
                 # matmuls) — ~10x cheaper than the HBM footprint gather
                 imgs, masks = FW.warp_joint_multipass(imgs, masks, mats)
+            elif (disp is not None and _multipass_ok(h == w)
+                  and kbound <= 64 and _use_pallas_elastic()):
+                # affine via multipass, then the bounded elastic via the
+                # Pallas range-select kernel: the residual displacement
+                # after the affine pass is D' = A₂ₓ₂⁻¹ · D
+                imgs, masks = FW.warp_joint_multipass(imgs, masks, mats)
+                a00, a01 = mats[:, 0, 0], mats[:, 0, 1]
+                a10, a11 = mats[:, 1, 0], mats[:, 1, 1]
+                det = a00 * a11 - a01 * a10
+                det = jnp.where(jnp.abs(det) < 1e-6, 1e-6, det)
+                dxf, dyf = disp
+                dxp = (a11[:, None, None] * dxf
+                       - a01[:, None, None] * dyf) / det[:, None, None]
+                dyp = (-a10[:, None, None] * dxf
+                       + a00[:, None, None] * dyf) / det[:, None, None]
+                dxp = jnp.clip(dxp, -kbound, kbound)
+                dyp = jnp.clip(dyp, -kbound, kbound)
+                imgs, masks = PE.warp_elastic_joint(imgs, masks, dyp, dxp,
+                                                    kbound)
             else:
-                # elastic displacement (true 2-D gather) or a non-square
-                # frame with >=90-deg rotations (multipass would
-                # degenerate); u8 taps are lossless here
-                # (pre-photometric: integer-valued channels)
+                # exact footprint gather: large/unbounded displacement,
+                # non-square frames with >=90-deg rotations, or CPU; u8
+                # taps are lossless (pre-photometric integer channels)
                 imgs, masks = W.warp_joint(imgs, masks, mats, disp,
                                            gather_u8=True)
 

@@ -1,0 +1,148 @@
+"""Pallas TPU kernel: bounded-displacement 2-D resample (elastic warp).
+
+The elastic path was the last gather in the augmentation engine: XLA's
+footprint gather costs ~110 ms at B16 512² (random-access HBM latency).
+Elastic displacements are BOUNDED (|d| ≤ alpha, a static config value),
+which a gather can't exploit but a VMEM-resident kernel can:
+
+  * the whole y-padded source plane for one (batch, channel) sits in VMEM
+    (~1.3 MB at 512²+2K) — revisited across the row grid, DMA'd once;
+  * y taps: range-select over the 2K+1 possible integer displacements —
+    each candidate is a STATIC row-slice of the band (no gather at all);
+  * x taps: the same range-select with incremental lane rolls
+    (roll(v, s+1) = roll(roll(v, s), 1) — one 1-lane roll per step).
+
+Images interpolate bilinearly (y-blend inside the slice loop, x-blend in
+the roll loop); masks take the rounded tap from the same loops.  Cost is
+O(K) vector sweeps instead of O(H·W) random accesses — ~6x faster than
+the footprint gather for typical alpha ≤ 40.
+
+Used by lowering.py for elastic configs whose static alpha bound fits
+(K ≤ 64); anything else falls back to warp.warp_joint's exact gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _elastic_kernel(dy_ref, dx_ref, img_ref, out_ref, *, k: int, h: int,
+                    w: int, fill: float, nearest: bool):
+    """One (batch, channel) plane.
+
+    dy_ref/dx_ref: (1, H, W) f32 — per-pixel displacement.
+    img_ref:       (1, 1, H+2K+1, W) f32 — y-padded source plane
+                   (pad=fill; one extra bottom row for the s=+K y-blend).
+    out_ref:       (1, 1, H, W) f32.
+    """
+    dy_raw = dy_ref[0]                  # (H, W)
+    dx_raw = dx_ref[0]
+    band = img_ref[0, 0]                # (H+2K+1, W)
+
+    # clamp source coords to the frame (warp_joint clips the footprint to
+    # [0, n-2] with saturated fractions — identical to sampling at the
+    # clamped coordinate); OOB fill below still uses the RAW coords
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    dy = jnp.clip(yy + dy_raw, 0.0, h - 1.0) - yy
+    dx = jnp.clip(xx + dx_raw, 0.0, w - 1.0) - xx
+
+    if nearest:
+        iy = jnp.floor(dy + 0.5)
+        fy = None
+    else:
+        iy = jnp.floor(dy)
+        fy = dy - iy
+
+    # --- y resample: range-select over static row slices -----------------
+    row = jnp.zeros((h, w), jnp.float32)
+    for s in range(-k, k + 1):
+        cand = band[k + s: k + s + h, :]
+        if nearest:
+            val = cand
+        else:
+            nxt = band[k + s + 1: k + s + 1 + h, :]
+            val = (1.0 - fy) * cand + fy * nxt
+        row = jnp.where(iy == s, val, row)
+
+    if nearest:
+        ix = jnp.floor(dx + 0.5)
+        fx = None
+    else:
+        ix = jnp.floor(dx)
+        fx = dx - ix
+
+    # --- x resample: range-select with incremental lane rolls ------------
+    # cur = roll(row, -s) for s = -k..k; start at s=-k (roll left by -k ==
+    # roll right by k), advance by one 1-lane left-roll per step.
+    cur = pltpu.roll(row, k % w, 1)     # roll(row, -(-k))
+    out = jnp.zeros((h, w), jnp.float32)
+    for s in range(-k, k + 1):
+        if nearest:
+            val = cur
+            nxt = pltpu.roll(cur, w - 1, 1)
+        else:
+            nxt = pltpu.roll(cur, w - 1, 1)     # roll(row, -(s+1))
+            val = (1.0 - fx) * cur + fx * nxt
+        out = jnp.where(ix == s, val, out)
+        cur = nxt
+
+    # --- analytic OOB fill (RAW source coordinate outside the frame) -----
+    sy = yy + dy_raw
+    sx = xx + dx_raw
+    oob = (sy < -0.5) | (sy > h - 0.5) | (sx < -0.5) | (sx > w - 0.5)
+    out_ref[0, 0] = jnp.where(oob, fill, out)
+
+
+def elastic_resample_tpu(planes: Array, dy: Array, dx: Array, k: int,
+                         fill: float, nearest: bool,
+                         interpret: bool = False) -> Array:
+    """planes (B, C, H, W) f32; dy/dx (B, H, W) f32 with |d| ≤ k.
+
+    → (B, C, H, W): planes[b, c, y + dy, x + dx] (bilinear or rounded),
+    fill outside the frame.
+    """
+    b, c, h, w = planes.shape
+    padded = jnp.pad(planes, ((0, 0), (0, 0), (k, k + 1), (0, 0)),
+                     constant_values=fill)
+    kern = functools.partial(_elastic_kernel, k=k, h=h, w=w, fill=fill,
+                             nearest=nearest)
+    return pl.pallas_call(
+        kern,
+        grid=(b, c),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h + 2 * k + 1, w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, h, w), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+        interpret=interpret,
+    )(dy, dx, padded)
+
+
+def warp_elastic_joint(images: Array, masks: Array, dy: Array, dx: Array,
+                       k: int, fill: float = 0.0,
+                       interpret: bool = False):
+    """Elastic-only joint warp: images bilinear, masks nearest — the
+    displacement-field half of warp.warp_joint with the affine already
+    applied (see lowering.py's split)."""
+    img_p = images.astype(jnp.float32).transpose(0, 3, 1, 2)
+    msk_p = masks.astype(jnp.float32).transpose(0, 3, 1, 2)
+    oi = elastic_resample_tpu(img_p, dy, dx, k, fill, nearest=False,
+                              interpret=interpret)
+    om = elastic_resample_tpu(msk_p, dy, dx, k, fill, nearest=True,
+                              interpret=interpret)
+    return (oi.transpose(0, 2, 3, 1),
+            om.transpose(0, 2, 3, 1).astype(masks.dtype))
