@@ -78,6 +78,12 @@ for name, aliases in [
     ("GaussianBlur", ()),
     ("CoarseDropout", ("Cutout",)),
     ("Grayscale", ()),
+    ("Invert", ()),
+    ("Solarize", ()),
+    ("Sharpen", ()),
+    ("Emboss", ()),
+    ("Dropout", ()),
+    ("SaltAndPepper", ("SaltPepper",)),
 ]:
     AUGMENTERS.register(name, name, aliases=aliases)
 

@@ -368,6 +368,37 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
     elif name == "grayscale":
         a = args if not isinstance(args, dict) else args.get("alpha", 1.0)
         imgs = ph.grayscale(imgs, _sample(k, a, b, 1.0))
+    elif name == "invert":
+        a = args if not isinstance(args, dict) else args.get("p", 0.5)
+        k1, k2 = jax.random.split(k)
+        imgs = ph.invert(k2, imgs, _sample(k1, a, b, 0.5))
+    elif name == "solarize":
+        a = args if not isinstance(args, dict) else args.get("threshold", 128)
+        imgs = ph.solarize(imgs, _sample(k, a, b, 128.0))
+    elif name == "sharpen":
+        a = args or {}
+        k1, k2 = jax.random.split(k)
+        alpha = _sample(k1, a.get("alpha", [0.0, 1.0])
+                        if isinstance(a, dict) else a, b)
+        light = _sample(k2, a.get("lightness", [0.75, 1.5])
+                        if isinstance(a, dict) else [0.75, 1.5], b)
+        imgs = ph.sharpen(imgs, alpha, light)
+    elif name == "emboss":
+        a = args or {}
+        k1, k2 = jax.random.split(k)
+        alpha = _sample(k1, a.get("alpha", [0.0, 1.0])
+                        if isinstance(a, dict) else a, b)
+        strength = _sample(k2, a.get("strength", [0.5, 1.5])
+                           if isinstance(a, dict) else [0.5, 1.5], b)
+        imgs = ph.emboss(imgs, alpha, strength)
+    elif name == "dropout":
+        a = args if not isinstance(args, dict) else args.get("p", 0.05)
+        k1, k2 = jax.random.split(k)
+        imgs = ph.pixel_dropout(k2, imgs, _sample(k1, a, b, 0.05))
+    elif name in ("saltandpepper", "saltpepper"):
+        a = args if not isinstance(args, dict) else args.get("p", 0.05)
+        k1, k2 = jax.random.split(k)
+        imgs = ph.salt_and_pepper(k2, imgs, _sample(k1, a, b, 0.05))
     else:
         raise KeyError(f"augmenter {s['name']!r} has no lowering")
     return imgs, masks

@@ -70,6 +70,82 @@ def gaussian_blur(images: Array, sigma: Array, radius: int = 3) -> Array:
     return jax.vmap(blur_one)(images, k)
 
 
+def invert(rng: Array, images: Array, p: Array) -> Array:
+    """imgaug Invert: per-image bernoulli(p) 255-v inversion."""
+    b = images.shape[0]
+    flip = jax.random.bernoulli(rng, p, (b,))[:, None, None, None]
+    return jnp.where(flip, 255.0 - images, images)
+
+
+def solarize(images: Array, threshold: Array) -> Array:
+    """Invert only values above the per-image threshold (PIL semantics)."""
+    t = threshold[:, None, None, None]
+    return jnp.where(images >= t, 255.0 - images, images)
+
+
+def sharpen(images: Array, alpha: Array, lightness: Array) -> Array:
+    """imgaug Sharpen: blend with a 3x3 sharpening response.
+
+    kernel = [[-1,-1,-1],[-1, 8+l,-1],[-1,-1,-1]] / (something) — imgaug
+    uses the unnormalized laplacian-style kernel scaled into a blend; we
+    follow the same shape: out = (1-a)·img + a·sharp(img, l)."""
+    b, h, w, c = images.shape
+    lap = jnp.array([[-1.0, -1.0, -1.0],
+                     [-1.0, 8.0, -1.0],
+                     [-1.0, -1.0, -1.0]], jnp.float32)
+
+    def one(img, li):
+        k = lap.at[1, 1].add(li)  # center 8+lightness
+        k = k / jnp.maximum(k.sum(), 1.0)
+        kern = jnp.tile(k[:, :, None, None], (1, 1, 1, c))
+        pad = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="reflect")
+        return jax.lax.conv_general_dilated(
+            pad[None], kern, (1, 1), "VALID", feature_group_count=c,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+
+    sharp = jax.vmap(one)(images, lightness)
+    a = alpha[:, None, None, None]
+    return (1.0 - a) * images + a * sharp
+
+
+def emboss(images: Array, alpha: Array, strength: Array) -> Array:
+    """imgaug Emboss: blend with an embossing 3x3 response."""
+    b, h, w, c = images.shape
+
+    def one(img, s):
+        k = jnp.array([[-1.0 - s, -s, 0.0],
+                       [-s, 1.0, s],
+                       [0.0, s, 1.0 + s]], jnp.float32)
+        kern = jnp.tile(k[:, :, None, None], (1, 1, 1, c))
+        pad = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="reflect")
+        return jax.lax.conv_general_dilated(
+            pad[None], kern, (1, 1), "VALID", feature_group_count=c,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+
+    emb = jax.vmap(one)(images, strength)
+    a = alpha[:, None, None, None]
+    return (1.0 - a) * images + a * emb
+
+
+def pixel_dropout(rng: Array, images: Array, p: Array) -> Array:
+    """imgaug Dropout: zero individual pixels with probability p (all
+    channels together, like imgaug's default per_channel=False)."""
+    b, h, w, _ = images.shape
+    keep = (jax.random.uniform(rng, (b, h, w, 1))
+            >= p[:, None, None, None]).astype(jnp.float32)
+    return images * keep
+
+
+def salt_and_pepper(rng: Array, images: Array, p: Array) -> Array:
+    """imgaug SaltAndPepper: replace a fraction p of pixels with 0 or 255
+    (half each)."""
+    b, h, w, _ = images.shape
+    u = jax.random.uniform(rng, (b, h, w, 1))
+    pp = p[:, None, None, None]
+    out = jnp.where(u < pp * 0.5, 0.0, images)
+    return jnp.where((u >= pp * 0.5) & (u < pp), 255.0, out)
+
+
 def coarse_dropout(rng: Array, images: Array, p: Array,
                    size_frac: float = 0.1) -> Array:
     """imgaug CoarseDropout: drop rectangles covering ~p of a coarse grid.

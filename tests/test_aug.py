@@ -213,4 +213,42 @@ class TestPipelineProperties:
 
     def test_unknown_augmenter_raises(self):
         with pytest.raises(KeyError, match="lowering"):
-            _run([("Sharpen", 0.5)], _imgs(), _masks())
+            _run([("PiecewiseAffine", 0.5)], _imgs(), _masks())
+
+
+class TestNewPhotometric:
+    def test_invert_p1(self):
+        imgs, masks = _imgs(2, 16, 16), _masks(2, 16, 16)
+        oi, om = _run([("Invert", 1.0)], imgs, masks)
+        np.testing.assert_allclose(oi, 255.0 - imgs.astype(np.float32),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(om, masks)
+
+    def test_solarize_threshold0_inverts_all(self):
+        imgs, masks = _imgs(1, 16, 16), _masks(1, 16, 16)
+        oi, _ = _run([("Solarize", 0.0)], imgs, masks)
+        np.testing.assert_allclose(oi, 255.0 - imgs.astype(np.float32),
+                                   atol=1e-4)
+
+    def test_dropout_p1_zeros(self):
+        imgs, masks = _imgs(1, 16, 16), _masks(1, 16, 16)
+        oi, _ = _run([("Dropout", 1.0)], imgs, masks)
+        assert np.abs(oi).max() == 0.0
+
+    def test_salt_and_pepper_extremes_only(self):
+        imgs = np.full((1, 16, 16, 3), 100, np.uint8)
+        oi, _ = _run([("SaltAndPepper", 1.0)], imgs, _masks(1, 16, 16))
+        assert set(np.unique(oi)) <= {0.0, 255.0}
+
+    def test_sharpen_alpha0_identity(self):
+        imgs, masks = _imgs(1, 16, 16), _masks(1, 16, 16)
+        oi, _ = _run([("Sharpen", {"alpha": 0.0})], imgs, masks)
+        np.testing.assert_allclose(oi, imgs.astype(np.float32), atol=1e-3)
+
+    def test_sharpen_emboss_change_pixels(self):
+        imgs, masks = _imgs(1, 16, 16), _masks(1, 16, 16)
+        for spec in [("Sharpen", {"alpha": 1.0}),
+                     ("Emboss", {"alpha": 1.0, "strength": 1.0})]:
+            oi, om = _run([spec], imgs, masks)
+            assert np.abs(oi - imgs.astype(np.float32)).mean() > 0.5
+            np.testing.assert_array_equal(om, masks)  # masks untouched
