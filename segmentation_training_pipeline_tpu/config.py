@@ -130,6 +130,23 @@ class Stage:
         )
 
 
+_TTA_VALUES = {"flip", "hflip", "flips", "d4_subset", "hvflip"}
+
+
+def _check_tta(v):
+    """Unknown TTA names would otherwise silently run zero TTA passes."""
+    if v is None or v is False:
+        return None
+    if v is True:
+        return "flip"
+    s = str(v).lower()
+    if s not in _TTA_VALUES:
+        raise ConfigError(
+            f"testTimeAugmentation must be one of {sorted(_TTA_VALUES)}, "
+            f"got {v!r}")
+    return s
+
+
 def _opt_float(v):
     return None if v is None else float(v)
 
@@ -382,7 +399,7 @@ class PipelineConfig:
             preprocessing=d.get("preprocessing"),
             crops=crops,
             flipPred=bool(d.get("flipPred", False)),
-            testTimeAugmentation=d.get("testTimeAugmentation"),
+            testTimeAugmentation=_check_tta(d.get("testTimeAugmentation")),
             threshold=float(d.get("threshold", 0.5)),
             stages=stages,
             callbacks=_normalize_callbacks(d.get("callbacks")),

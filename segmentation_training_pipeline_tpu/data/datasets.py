@@ -125,6 +125,15 @@ class DirectoryDataSet(DataSet):
             for f in os.listdir(masks_dir):
                 if f.lower().endswith(_IMG_EXTS):
                     self._mask_index[os.path.splitext(f)[0]] = f
+            stems = {os.path.splitext(f)[0] for f in self.files}
+            if not (stems & set(self._mask_index)):
+                # per-item misses are legitimate (negative examples), but
+                # ZERO matches means the naming convention is wrong and
+                # every image would silently train toward an empty mask
+                raise ValueError(
+                    f"masks_dir {masks_dir!r} matches no image stem from "
+                    f"{images_dir!r} — masks pair by stem "
+                    "(images/a.jpg <-> masks/a.png); check the naming")
 
     def __len__(self):
         return len(self.files)

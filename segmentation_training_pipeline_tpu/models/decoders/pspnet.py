@@ -14,12 +14,36 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import numpy as np
+
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..layers import ConvBN, resize_to
 
 Dtype = Any
+
+
+def _adaptive_pool_matrix(n: int, bins: int) -> np.ndarray:
+    """(bins, n) row-stochastic matrix: exact adaptive average pooling
+    (torch AdaptiveAvgPool semantics — segment i covers
+    [floor(i·n/b), ceil((i+1)·n/b))), applied as an MXU matmul."""
+    m = np.zeros((bins, n), np.float32)
+    for i in range(bins):
+        s = (i * n) // bins
+        e = -(-((i + 1) * n) // bins)  # ceil
+        m[i, s:e] = 1.0 / (e - s)
+    return m
+
+
+def adaptive_avg_pool(y, b: int):
+    """NHWC → (N, b, b, C) exact adaptive pooling via two matmuls (the
+    naive h//b window pool yields the wrong bin grid whenever h % b != 0)."""
+    h, w = y.shape[1], y.shape[2]
+    mh = jnp.asarray(_adaptive_pool_matrix(h, b), y.dtype)
+    mw = jnp.asarray(_adaptive_pool_matrix(w, b), y.dtype)
+    p = jnp.einsum("bh,nhwc->nbwc", mh, y)
+    return jnp.einsum("bw,nhwc->nhbc", mw, p)
 
 
 class PSPDecoder(nn.Module):
@@ -33,9 +57,7 @@ class PSPDecoder(nn.Module):
         h, w = y.shape[1], y.shape[2]
         pooled = [y]
         for b in self.bins:
-            # adaptive average pool to (b, b)
-            wh, ww = h // b, w // b
-            p = nn.avg_pool(y, (wh, ww), strides=(wh, ww))
+            p = adaptive_avg_pool(y, b)
             p = ConvBN(self.conv_channels // len(self.bins), kernel=(1, 1),
                        dtype=self.dtype, name=f"bin{b}_conv")(p, train)
             pooled.append(resize_to(p, h, w, method="bilinear"))

@@ -72,32 +72,34 @@ def _decompose(mats: Array, h: int, w: int):
     tx = mats[:, 0, 2]
     ty = mats[:, 1, 2]
 
-    # Rotation angle of the inverse map.  det<0 (odd flip count): write
-    # A = Fx·M̃ (x-flip negates the whole first row) and extract M̃'s angle
-    # — the residual then carries the flip in a negative e1.
+    # Rotation angle of the inverse map.  Convention: warp.rot90s(k=1)'s
+    # 2x2 is [[0,-1],[1,0]] = Rot(+90°), i.e. theta = atan2(-b, a).
+    # det<0 (odd flip count): write A = Fx·M̃ (x-flip negates the whole
+    # first row) and extract M̃'s angle — the residual then carries the
+    # flip in a negative e1.
     det = a * d - b * c
     flip = det < 0
     a_ = jnp.where(flip, -a, a)
     b_ = jnp.where(flip, -b, b)
-    theta = jnp.arctan2(b_, a_)  # inverse rotation matrix has +s at [0,1]
+    theta = jnp.arctan2(-b_, a_)
     k = jnp.round(theta / (math.pi / 2.0)).astype(jnp.int32) % 4
 
-    # residual = A · inv(R90(k)) = A · R90(-k)  (about the center)
+    # The select pre-pass applies M_k (np.rot90 by k); the residual must
+    # satisfy M_k · Mr = A  ⇒  Mr = M_k⁻¹ · A  (LEFT-multiply by the
+    # inverse rot90 about the center).
     cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
-    ang = -k.astype(jnp.float32) * (math.pi / 2.0)
+    ang = -k.astype(jnp.float32) * (math.pi / 2.0)   # angle of M_k⁻¹
     ck, sk = jnp.cos(ang), jnp.sin(ang)
-    # R90(-k) about center: [x;y] -> R·([x;y]-c) + c
-    r00, r01 = ck, sk
-    r10, r11 = -sk, ck
+    r00, r01 = ck, -sk
+    r10, r11 = sk, ck
     rt0 = cx - r00 * cx - r01 * cy
     rt1 = cy - r10 * cx - r11 * cy
-    # compose: M = A_mat · R
-    m00 = a * r00 + b * r10
-    m01 = a * r01 + b * r11
-    m02 = a * rt0 + b * rt1 + tx
-    m10 = c * r00 + d * r10
-    m11 = c * r01 + d * r11
-    m12 = c * rt0 + d * rt1 + ty
+    m00 = r00 * a + r01 * c
+    m01 = r00 * b + r01 * d
+    m02 = r00 * tx + r01 * ty + rt0
+    m10 = r10 * a + r11 * c
+    m11 = r10 * b + r11 * d
+    m12 = r10 * tx + r11 * ty + rt1
 
     # S1·D·S2 factorization of [[m00,m01],[m10,m11]]
     eps = 1e-6
@@ -120,9 +122,10 @@ def _rot90_select(x: Array, k: Array) -> Array:
     dims or fold the aspect scale into the scale pass — callers pass
     square H=W (the standard training config) or k is forced to 0.
     """
-    r1 = jnp.flip(jnp.swapaxes(x, 1, 2), axis=2)
+    # np.rot90 direction (CCW in array axes), matching warp.rot90s
+    r1 = jnp.flip(jnp.swapaxes(x, 1, 2), axis=1)
     r2 = jnp.flip(jnp.flip(x, axis=1), axis=2)
-    r3 = jnp.flip(jnp.swapaxes(x, 1, 2), axis=1)
+    r3 = jnp.flip(jnp.swapaxes(x, 1, 2), axis=2)
     kb = k[:, None, None, None]
     return jnp.where(kb == 1, r1, jnp.where(kb == 2, r2,
                      jnp.where(kb == 3, r3, x)))

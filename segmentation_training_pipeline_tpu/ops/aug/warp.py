@@ -122,12 +122,14 @@ def vflip(h: int, flip: Array) -> Array:
 
 
 def rot90s(h: int, w: int, k: Array) -> Array:
-    """Inverse of rot90 applied k∈{0,1,2,3} times (CCW, square or not —
-    note non-square rot90 keeps the output shape, i.e. it is rot90 +
-    resize, documented deviation from imgaug's shape-changing Rot90)."""
+    """Inverse of rot90 applied k∈{0,1,2,3} times, matching
+    ``np.rot90(img, k)`` / imgaug's Rot90 direction (CCW in array axes) —
+    same convention as the flips/rot90 fast path.  Non-square rot90 keeps
+    the output shape, i.e. rot90 + resize (documented deviation from
+    imgaug's shape-changing Rot90)."""
     b = k.shape[0]
     cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
-    theta = k.astype(jnp.float32) * (jnp.pi / 2.0)
+    theta = -k.astype(jnp.float32) * (jnp.pi / 2.0)
     # scale correction for non-square: odd k swaps axes
     odd = (k % 2 == 1).astype(jnp.float32)
     sx = 1.0 + odd * ((w / h) - 1.0)
@@ -154,12 +156,14 @@ def smooth_field(field: Array, sigma: Array, radius: int = 8) -> Array:
     k = _gaussian_kernel1d(sigma, radius)  # (B, K)
     K = 2 * radius + 1
 
-    # horizontal pass: treat rows as batch, use conv_general_dilated per image
+    # horizontal pass: pad W, convolve along W (kernel on the W axis of
+    # HWIO — pairing the pad and conv axes matters for reflect edges)
     def blur1(img, kern):
         # img (H, W); kern (K,)
-        pad = jnp.pad(img, ((0, 0), (radius, radius)), mode="reflect")
+        # "symmetric" = scipy gaussian_filter's mode="reflect"
+        pad = jnp.pad(img, ((0, 0), (radius, radius)), mode="symmetric")
         out = jax.lax.conv_general_dilated(
-            pad[None, :, :, None], kern[:, None, None, None],
+            pad[None, :, :, None], kern[None, :, None, None],
             window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )[0, :, :, 0]

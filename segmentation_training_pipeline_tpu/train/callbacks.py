@@ -191,12 +191,20 @@ class LearningRateScheduler(Callback):
         self.schedule = {int(k): float(v) for k, v in (schedule or {}).items()}
         self.verbose = verbose
 
-    def on_epoch_end(self, epoch, logs, control):
-        nxt = epoch + 1
-        if nxt in self.schedule:
-            control.lr_scale = self.schedule[nxt] / control.base_lr
+    def _apply(self, epoch, control):
+        if epoch in self.schedule:
+            control.lr_scale = self.schedule[epoch] / control.base_lr
             if self.verbose:
-                print(f"LearningRateScheduler: lr -> {self.schedule[nxt]:.2e}")
+                print(f"LearningRateScheduler: lr -> "
+                      f"{self.schedule[epoch]:.2e}")
+
+    def on_train_begin(self, control):
+        # Keras applies schedule(epoch) at epoch BEGIN — without this the
+        # epoch-0 entry (warmup/initial lr) would silently never fire
+        self._apply(0, control)
+
+    def on_epoch_end(self, epoch, logs, control):
+        self._apply(epoch + 1, control)
 
 
 class CSVLogger(Callback):

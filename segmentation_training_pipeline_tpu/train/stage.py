@@ -179,6 +179,19 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                 variables = jax.device_put(variables, replicated(mesh))
 
             batch = stage.batch or cfg.batch
+            # per-stage batch overrides must stay shardable on the mesh's
+            # data axis; rebuild a narrower mesh if not (explicit YAML
+            # meshes are a hard contract -> clear error instead)
+            stage_mesh = mesh
+            n_data = mesh.devices.shape[0]
+            if batch % n_data != 0:
+                if cfg.mesh:
+                    raise ValueError(
+                        f"stage {si} batch {batch} is not divisible by the "
+                        f"configured mesh data axis ({n_data})")
+                nd = math.gcd(batch, len(jax.devices()))
+                stage_mesh = build_mesh(MeshSpec(data=nd, space=1),
+                                        devices=jax.devices()[:nd])
             loss_expr = stage.loss or cfg.loss
             loss_fn = build_loss(loss_expr, cfg.activation, cfg.class_weights)
             tx = build_optimizer(cfg, freeze_encoder=frozen)
@@ -188,7 +201,7 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
             eval_step = build_eval_step(
                 model, loss_fn, metric_fns, cfg.activation, cfg.preprocessing)
             state = create_train_state(model, variables, tx)
-            state = jax.device_put(state, replicated(mesh))
+            state = jax.device_put(state, replicated(stage_mesh))
 
             base_lr = stage.lr if stage.lr is not None else cfg.lr
             control = cb.TrainingControl(base_lr=base_lr)
@@ -210,7 +223,7 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
             rng = jax.random.PRNGKey(cfg.random_state * 1000 + fold * 10 + si)
 
             if verbose:
-                n_dev = int(np.prod(mesh.devices.shape))
+                n_dev = int(np.prod(stage_mesh.devices.shape))
                 print(f"[fold {fold} stage {si}] epochs={stage.epochs} "
                       f"lr={base_lr} loss={loss_expr} frozen={frozen} "
                       f"batch={batch} mesh={n_dev}dev")
@@ -239,7 +252,7 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                     kfold.dataset, plan, cfg.shape, cfg.classes,
                     cfg.activation, batch)
                 train_logs = []
-                for b in Prefetcher(gen, mesh=mesh, depth=cfg.prefetch):
+                for b in Prefetcher(gen, mesh=stage_mesh, depth=cfg.prefetch):
                     for c in cbs:
                         c.on_batch_begin(control)
                     lr_now = jnp.asarray(control.effective_lr, jnp.float32)
@@ -251,7 +264,7 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                     kfold.dataset, val_idx, cfg.shape, cfg.classes,
                     cfg.activation, batch)
                 val_logs = []
-                for b in Prefetcher(vgen, mesh=mesh, depth=cfg.prefetch):
+                for b in Prefetcher(vgen, mesh=stage_mesh, depth=cfg.prefetch):
                     val_logs.append(jax.device_get(eval_step(state, b)))
 
                 tl = jax.device_get(train_logs)

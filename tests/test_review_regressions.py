@@ -86,3 +86,108 @@ class TestDebugNansRestored:
         before = bool(jax.config.jax_debug_nans)
         cfg.fit(LambdaDataSet(xs, ys), foldsToExecute=[0])
         assert bool(jax.config.jax_debug_nans) == before
+
+
+class TestRot90Direction:
+    def test_fast_and_warp_paths_both_ccw(self):
+        """imgaug's Rot90 is np.rot90 (CCW); both the flips/rot90 fast
+        path and the general warp path must rotate the same direction."""
+        imgs = (np.arange(16 * 16 * 3, dtype=np.uint8)
+                .reshape(1, 16, 16, 3) % 251)
+        masks = np.zeros((1, 16, 16, 1), np.float32)
+        key = jax.random.PRNGKey(0)
+        ccw = np.rot90(imgs[0], 1, axes=(0, 1)).astype(np.float32)
+
+        fast = build_augmentation([{"name": "Rot90", "args": 1}])
+        oi, _ = fast(key, jnp.asarray(imgs), jnp.asarray(masks))
+        assert float(np.abs(np.asarray(oi)[0] - ccw).max()) < 1e-3
+
+        warp_path = build_augmentation([
+            {"name": "Rot90", "args": 1},
+            {"name": "Affine", "args": {"rotate": 0}}])
+        oi2, _ = warp_path(key, jnp.asarray(imgs), jnp.asarray(masks))
+        assert float(np.abs(np.asarray(oi2)[0] - ccw).max()) < 1.0
+
+
+class TestSecondReviewBatch:
+    def test_lr_scheduler_epoch0_applies(self):
+        from segmentation_training_pipeline_tpu.train.callbacks import (
+            LearningRateScheduler, TrainingControl)
+
+        ctl = TrainingControl(base_lr=1e-2)
+        cb = LearningRateScheduler(schedule={0: 1e-3, 2: 1e-4})
+        cb.on_train_begin(ctl)
+        assert abs(ctl.effective_lr - 1e-3) < 1e-12  # epoch-0 entry fires
+        cb.on_epoch_end(1, {}, ctl)
+        assert abs(ctl.effective_lr - 1e-4) < 1e-12
+
+    def test_stage_batch_override_reshards(self, tmp_path):
+        """A stage batch not divisible by the fit-level mesh data axis
+        must rebuild a narrower mesh instead of crashing at shard time."""
+        from segmentation_training_pipeline_tpu.config import parse_dict
+
+        cfg = parse_dict(dict(
+            architecture="Unet", backbone="resnet18", shape=[32, 32, 3],
+            classes=1, activation="sigmoid", loss="binary_crossentropy",
+            batch=8, folds_count=2, verbose=0, directory=str(tmp_path),
+            stages=[{"epochs": 1, "batch": 6}]))  # 6 % 8-dev mesh != 0
+        xs = np.random.RandomState(0).randint(0, 255, (12, 32, 32, 3),
+                                              np.uint8)
+        ys = (xs[..., :1] > 127).astype(np.uint8) * 255
+        res = cfg.fit(LambdaDataSet(xs, ys), foldsToExecute=[0])
+        assert res["fold0.stage0"]["epochs"] >= 1
+
+    def test_psp_adaptive_pool_bins(self):
+        from segmentation_training_pipeline_tpu.models.decoders.pspnet import (
+            adaptive_avg_pool)
+
+        y = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 4),
+                        jnp.float32)
+        for b in (1, 2, 3, 6):
+            p = adaptive_avg_pool(y, b)
+            assert p.shape == (1, b, b, 4), (b, p.shape)
+        # exactness vs manual segments for b=3, n=16
+        p3 = np.asarray(adaptive_avg_pool(y, 3))
+        seg = [(0, 6), (5, 11), (10, 16)]
+        seg = [((i * 16) // 3, -(-((i + 1) * 16) // 3)) for i in range(3)]
+        want = np.asarray(y)[0, seg[1][0]: seg[1][1],
+                             seg[2][0]: seg[2][1]].mean(axis=(0, 1))
+        np.testing.assert_allclose(p3[0, 1, 2], want, rtol=1e-5)
+
+    def test_unknown_tta_rejected(self):
+        import pytest
+        from segmentation_training_pipeline_tpu.config import (
+            ConfigError, parse_dict)
+
+        with pytest.raises(ConfigError, match="testTimeAugmentation"):
+            parse_dict(dict(architecture="Unet", backbone="resnet18",
+                            shape=[32, 32, 3],
+                            testTimeAugmentation="d4"))
+
+    def test_mask_dir_stem_mismatch_rejected(self, tmp_path):
+        import cv2
+        import pytest
+        from segmentation_training_pipeline_tpu.data.datasets import (
+            DirectoryDataSet)
+
+        (tmp_path / "images").mkdir()
+        (tmp_path / "masks").mkdir()
+        cv2.imwrite(str(tmp_path / "images" / "a.png"),
+                    np.zeros((8, 8, 3), np.uint8))
+        cv2.imwrite(str(tmp_path / "masks" / "a_mask.png"),
+                    np.zeros((8, 8), np.uint8))
+        with pytest.raises(ValueError, match="stem"):
+            DirectoryDataSet(str(tmp_path / "images"),
+                             str(tmp_path / "masks"))
+
+    def test_smooth_field_matches_scipy(self):
+        from scipy.ndimage import gaussian_filter
+        from segmentation_training_pipeline_tpu.ops.aug.warp import (
+            smooth_field)
+
+        f = np.random.RandomState(0).uniform(-1, 1, (1, 64, 64)
+                                             ).astype(np.float32)
+        out = np.asarray(smooth_field(jnp.asarray(f), jnp.asarray([4.0]),
+                                      radius=12))[0]
+        ref = gaussian_filter(f[0], 4.0, mode="reflect", truncate=3.0)
+        assert np.abs(out - ref).max() < 1e-5
