@@ -2,22 +2,26 @@
 
 The elastic path was the last gather in the augmentation engine: XLA's
 footprint gather costs ~110 ms at B16 512² (random-access HBM latency).
-Elastic displacements are BOUNDED (|d| ≤ alpha, a static config value),
-which a gather can't exploit but a VMEM-resident kernel can:
+Elastic displacements are BOUNDED (|d| ≤ K, a static bound derived from
+the config's alpha/sigma), which a gather can't exploit but a
+VMEM-resident kernel can:
 
   * the whole y-padded source plane for one (batch, channel) sits in VMEM
-    (~1.3 MB at 512²+2K) — revisited across the row grid, DMA'd once;
+    (~1.3 MB at 512²+2K) — the block index repeats across the row-tile
+    grid axis, so Pallas DMAs it once per (batch, channel);
   * y taps: range-select over the 2K+1 possible integer displacements —
-    each candidate is a STATIC row-slice of the band (no gather at all);
+    each candidate is a dynamic-base row-slice of the band (no gather);
   * x taps: the same range-select with incremental lane rolls
     (roll(v, s+1) = roll(roll(v, s), 1) — one 1-lane roll per step).
 
-Images interpolate bilinearly (y-blend inside the slice loop, x-blend in
-the roll loop); masks take the rounded tap from the same loops.  Cost is
-O(K) vector sweeps instead of O(H·W) random accesses — ~6x faster than
-the footprint gather for typical alpha ≤ 40.
+Outputs/fields are processed in row tiles (keeps scoped VMEM well under
+the 16 MB limit at any batch size).  Images interpolate bilinearly
+(y-blend inside the slice loop, x-blend in the roll loop); masks take
+the rounded tap from the same loops.  Cost is O(K) vector sweeps instead
+of O(H·W) random accesses — ~7x faster than the footprint gather for
+typical alpha ≤ 40.
 
-Used by lowering.py for elastic configs whose static alpha bound fits
+Used by lowering.py for elastic configs whose static bound fits
 (K ≤ 64); anything else falls back to warp.warp_joint's exact gather.
 """
 
@@ -34,23 +38,24 @@ Array = jax.Array
 
 
 def _elastic_kernel(dy_ref, dx_ref, img_ref, out_ref, *, k: int, h: int,
-                    w: int, fill: float, nearest: bool):
-    """One (batch, channel) plane.
+                    w: int, t: int, fill: float, nearest: bool):
+    """One (batch, channel, row-tile) block.
 
-    dy_ref/dx_ref: (1, H, W) f32 — per-pixel displacement.
+    dy_ref/dx_ref: (1, T, W) f32 — per-pixel displacement for this tile.
     img_ref:       (1, 1, H+2K+1, W) f32 — y-padded source plane
                    (pad=fill; one extra bottom row for the s=+K y-blend).
-    out_ref:       (1, 1, H, W) f32.
+    out_ref:       (1, 1, T, W) f32.
     """
-    dy_raw = dy_ref[0]                  # (H, W)
+    base = pl.program_id(2) * t      # first output row of this tile
+    dy_raw = dy_ref[0]               # (T, W)
     dx_raw = dx_ref[0]
-    band = img_ref[0, 0]                # (H+2K+1, W)
 
     # clamp source coords to the frame (warp_joint clips the footprint to
     # [0, n-2] with saturated fractions — identical to sampling at the
     # clamped coordinate); OOB fill below still uses the RAW coords
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    yy = (jax.lax.broadcasted_iota(jnp.int32, (t, w), 0)
+          .astype(jnp.float32) + base)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1).astype(jnp.float32)
     dy = jnp.clip(yy + dy_raw, 0.0, h - 1.0) - yy
     dx = jnp.clip(xx + dx_raw, 0.0, w - 1.0) - xx
 
@@ -61,14 +66,17 @@ def _elastic_kernel(dy_ref, dx_ref, img_ref, out_ref, *, k: int, h: int,
         iy = jnp.floor(dy)
         fy = dy - iy
 
-    # --- y resample: range-select over static row slices -----------------
-    row = jnp.zeros((h, w), jnp.float32)
+    # --- y resample: one ALIGNED dynamic load of the tile's band, then
+    # range-select over STATIC row slices (Mosaic rejects dynamic
+    # unaligned sublane vector loads; ``base`` is a multiple of T≥8)
+    band = img_ref[0, 0, pl.ds(base, t + 2 * k + 1), :]
+    row = jnp.zeros((t, w), jnp.float32)
     for s in range(-k, k + 1):
-        cand = band[k + s: k + s + h, :]
+        cand = band[k + s: k + s + t, :]
         if nearest:
             val = cand
         else:
-            nxt = band[k + s + 1: k + s + 1 + h, :]
+            nxt = band[k + s + 1: k + s + 1 + t, :]
             val = (1.0 - fy) * cand + fy * nxt
         row = jnp.where(iy == s, val, row)
 
@@ -82,15 +90,11 @@ def _elastic_kernel(dy_ref, dx_ref, img_ref, out_ref, *, k: int, h: int,
     # --- x resample: range-select with incremental lane rolls ------------
     # cur = roll(row, -s) for s = -k..k; start at s=-k (roll left by -k ==
     # roll right by k), advance by one 1-lane left-roll per step.
-    cur = pltpu.roll(row, k % w, 1)     # roll(row, -(-k))
-    out = jnp.zeros((h, w), jnp.float32)
+    cur = pltpu.roll(row, k % w, 1)
+    out = jnp.zeros((t, w), jnp.float32)
     for s in range(-k, k + 1):
-        if nearest:
-            val = cur
-            nxt = pltpu.roll(cur, w - 1, 1)
-        else:
-            nxt = pltpu.roll(cur, w - 1, 1)     # roll(row, -(s+1))
-            val = (1.0 - fx) * cur + fx * nxt
+        nxt = pltpu.roll(cur, w - 1, 1)     # roll(row, -(s+1))
+        val = cur if nearest else (1.0 - fx) * cur + fx * nxt
         out = jnp.where(ix == s, val, out)
         cur = nxt
 
@@ -103,6 +107,7 @@ def _elastic_kernel(dy_ref, dx_ref, img_ref, out_ref, *, k: int, h: int,
 
 def elastic_resample_tpu(planes: Array, dy: Array, dx: Array, k: int,
                          fill: float, nearest: bool,
+                         row_tile: int = 128,
                          interpret: bool = False) -> Array:
     """planes (B, C, H, W) f32; dy/dx (B, H, W) f32 with |d| ≤ k.
 
@@ -110,22 +115,27 @@ def elastic_resample_tpu(planes: Array, dy: Array, dx: Array, k: int,
     fill outside the frame.
     """
     b, c, h, w = planes.shape
+    t = min(row_tile, h)
+    while h % t:
+        t -= 1
     padded = jnp.pad(planes, ((0, 0), (0, 0), (k, k + 1), (0, 0)),
                      constant_values=fill)
-    kern = functools.partial(_elastic_kernel, k=k, h=h, w=w, fill=fill,
+    kern = functools.partial(_elastic_kernel, k=k, h=h, w=w, t=t, fill=fill,
                              nearest=nearest)
     return pl.pallas_call(
         kern,
-        grid=(b, c),
+        grid=(b, c, h // t),
         in_specs=[
-            pl.BlockSpec((1, h, w), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, t, w), lambda i, j, r: (i, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, t, w), lambda i, j, r: (i, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h + 2 * k + 1, w), lambda i, j: (i, j, 0, 0),
+            # full padded plane; index repeats across r → DMA'd once per
+            # (batch, channel)
+            pl.BlockSpec((1, 1, h + 2 * k + 1, w), lambda i, j, r: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, h, w), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, t, w), lambda i, j, r: (i, j, r, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
         interpret=interpret,
