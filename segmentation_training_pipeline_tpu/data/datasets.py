@@ -126,7 +126,7 @@ class DirectoryDataSet(DataSet):
                 if f.lower().endswith(_IMG_EXTS):
                     self._mask_index[os.path.splitext(f)[0]] = f
             stems = {os.path.splitext(f)[0] for f in self.files}
-            if not (stems & set(self._mask_index)):
+            if self._mask_index and not (stems & set(self._mask_index)):
                 # per-item misses are legitimate (negative examples), but
                 # ZERO matches means the naming convention is wrong and
                 # every image would silently train toward an empty mask

@@ -40,16 +40,20 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def _use_pallas_shear() -> bool:
-    """Fused Pallas shear on real TPUs; XLA roll+select elsewhere.
-    Override with STP_PALLAS_SHEAR=0/1."""
-    env = os.environ.get("STP_PALLAS_SHEAR")
+def use_pallas(env_var: str) -> bool:
+    """Kernel dispatch: Pallas on real TPUs, XLA fallback elsewhere.
+    Override with <env_var>=0/1 (shared by the shear + elastic paths)."""
+    env = os.environ.get(env_var)
     if env is not None:
-        return env not in ("0", "false", "False")
+        return env.lower() not in ("0", "false")
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:
         return False
+
+
+def _use_pallas_shear() -> bool:
+    return use_pallas("STP_PALLAS_SHEAR")
 
 
 # ---------------------------------------------------------------------------

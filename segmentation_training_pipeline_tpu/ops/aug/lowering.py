@@ -38,13 +38,7 @@ from . import warp as W
 def _use_pallas_elastic() -> bool:
     """Bounded-displacement Pallas elastic on real TPUs; exact footprint
     gather elsewhere.  Override with STP_PALLAS_ELASTIC=0/1."""
-    env = os.environ.get("STP_PALLAS_ELASTIC")
-    if env is not None:
-        return env not in ("0", "false", "False")
-    try:
-        return jax.default_backend() not in ("cpu",)
-    except Exception:
-        return False
+    return FW.use_pallas("STP_PALLAS_ELASTIC")
 
 Array = jax.Array
 
@@ -171,6 +165,58 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
                     return False
         return True
 
+    _ELASTIC_NAMES = ("elastictransformation", "elastictransform", "elastic")
+    geo_nonelastic = [s for s in geo
+                      if s["name"].lower() not in _ELASTIC_NAMES]
+
+    def _static_magnification() -> float:
+        """Static upper bound on how much the forward affine can magnify
+        the elastic displacement (D' = A₂ₓ₂⁻¹·D): zoom from scale/crop
+        specs + a shear allowance.  Drives the Pallas kernel's K bound."""
+        mag = 1.0
+        for s in geo_nonelastic:
+            name = s["name"].lower()
+            a = s.get("args") or {}
+            try:
+                if name == "affine":
+                    sc = a.get("scale")
+                    if sc is not None:
+                        vals = (list(sc.values()) if isinstance(sc, dict)
+                                else sc if isinstance(sc, (list, tuple))
+                                else [sc])
+                        flat = []
+                        for v in vals:
+                            flat += (list(v) if isinstance(v, (list, tuple))
+                                     else [v])
+                        mag *= max(max(abs(float(v)) for v in flat), 1.0)
+                    sh = a.get("shear")
+                    if sh is not None:
+                        vals = (list(sh.values()) if isinstance(sh, dict)
+                                else sh if isinstance(sh, (list, tuple))
+                                else [sh])
+                        flat = []
+                        for v in vals:
+                            flat += (list(v) if isinstance(v, (list, tuple))
+                                     else [v])
+                        smax = max(abs(float(v)) for v in flat)
+                        mag *= 1.0 + math.tan(math.radians(min(smax, 80.0)))
+                elif name == "crop":
+                    pct = a.get("percent", a if not isinstance(a, dict)
+                                 else [0, 0.1])
+                    vals = pct if isinstance(pct, (list, tuple)) else [pct]
+                    pmax = max(float(v) for v in vals)
+                    mag *= 1.0 / max(1.0 - 2.0 * pmax, 0.1)
+                elif name in ("croptofixedsize", "randomcrop"):
+                    # zoom factor known only relative to the input shape;
+                    # bounded inside aug_fn where h/w are known — use a
+                    # generous static cap here
+                    mag *= 4.0
+            except (TypeError, ValueError):
+                mag *= 4.0  # unparseable spec: be conservative
+        return mag
+
+    _mag_bound = _static_magnification()
+
     def aug_fn(rng: Array, images: Array, masks: Array):
         b, h, w = images.shape[0], images.shape[1], images.shape[2]
         cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
@@ -294,7 +340,10 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
 
         imgs = images.astype(jnp.float32)
         if geo:
-            kbound = int(math.ceil(disp_bound * 1.4)) + 2  # A⁻¹ margin
+            # K bound for the Pallas elastic kernel: static 6-sigma field
+            # bound scaled by the forward affine's static magnification
+            # (D' = A₂ₓ₂⁻¹·D grows with zoom-in) + a safety margin
+            kbound = int(math.ceil(disp_bound * _mag_bound * 1.15)) + 2
             if disp is None and _multipass_ok(h == w):
                 # pure affine: gather-free multi-pass warp (rolls + MXU
                 # matmuls) — ~10x cheaper than the HBM footprint gather
@@ -303,17 +352,24 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
                   and kbound <= 64 and _use_pallas_elastic()):
                 # affine via multipass, then the bounded elastic via the
                 # Pallas range-select kernel: the residual displacement
-                # after the affine pass is D' = A₂ₓ₂⁻¹ · D
-                imgs, masks = FW.warp_joint_multipass(imgs, masks, mats)
-                a00, a01 = mats[:, 0, 0], mats[:, 0, 1]
-                a10, a11 = mats[:, 1, 0], mats[:, 1, 1]
-                det = a00 * a11 - a01 * a10
-                det = jnp.where(jnp.abs(det) < 1e-6, 1e-6, det)
-                dxf, dyf = disp
-                dxp = (a11[:, None, None] * dxf
-                       - a01[:, None, None] * dyf) / det[:, None, None]
-                dyp = (-a10[:, None, None] * dxf
-                       + a00[:, None, None] * dyf) / det[:, None, None]
+                # after the affine pass is D' = A₂ₓ₂⁻¹ · D.  (Round-2
+                # lead: fold image+mask into ONE kernel sweep with a
+                # per-channel kinds vector like pallas_shear.)
+                if geo_nonelastic:
+                    imgs, masks = FW.warp_joint_multipass(imgs, masks, mats)
+                    a00, a01 = mats[:, 0, 0], mats[:, 0, 1]
+                    a10, a11 = mats[:, 1, 0], mats[:, 1, 1]
+                    det = a00 * a11 - a01 * a10
+                    det = jnp.where(jnp.abs(det) < 1e-6, 1e-6, det)
+                    dxf, dyf = disp
+                    dxp = (a11[:, None, None] * dxf
+                           - a01[:, None, None] * dyf) / det[:, None, None]
+                    dyp = (-a10[:, None, None] * dxf
+                           + a00[:, None, None] * dyf) / det[:, None, None]
+                else:
+                    # elastic-only: the affine is the identity — skip the
+                    # multipass no-op and use the raw field
+                    dxp, dyp = disp
                 dxp = jnp.clip(dxp, -kbound, kbound)
                 dyp = jnp.clip(dyp, -kbound, kbound)
                 imgs, masks = PE.warp_elastic_joint(imgs, masks, dyp, dxp,

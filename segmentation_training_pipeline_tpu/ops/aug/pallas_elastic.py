@@ -115,9 +115,14 @@ def elastic_resample_tpu(planes: Array, dy: Array, dx: Array, k: int,
     fill outside the frame.
     """
     b, c, h, w = planes.shape
+    # tile height must divide h AND keep the dynamic band load aligned
+    # (base = r*t must be a sublane multiple of 8); fall back to a single
+    # full-height tile when no aligned divisor exists (odd sizes)
     t = min(row_tile, h)
-    while h % t:
+    while t >= 8 and (h % t or t % 8):
         t -= 1
+    if t < 8:
+        t = h
     padded = jnp.pad(planes, ((0, 0), (0, 0), (k, k + 1), (0, 0)),
                      constant_values=fill)
     kern = functools.partial(_elastic_kernel, k=k, h=h, w=w, t=t, fill=fill,

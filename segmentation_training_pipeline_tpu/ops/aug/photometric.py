@@ -83,25 +83,26 @@ def solarize(images: Array, threshold: Array) -> Array:
     return jnp.where(images >= t, 255.0 - images, images)
 
 
-def sharpen(images: Array, alpha: Array, lightness: Array) -> Array:
-    """imgaug Sharpen: blend with a 3x3 sharpening response.
+def _depthwise3x3(img: Array, k: Array) -> Array:
+    """Reflect-padded depthwise 3x3 conv of one (H, W, C) image."""
+    c = img.shape[-1]
+    kern = jnp.tile(k[:, :, None, None], (1, 1, 1, c))
+    pad = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        pad[None], kern, (1, 1), "VALID", feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
 
-    kernel = [[-1,-1,-1],[-1, 8+l,-1],[-1,-1,-1]] / (something) — imgaug
-    uses the unnormalized laplacian-style kernel scaled into a blend; we
-    follow the same shape: out = (1-a)·img + a·sharp(img, l)."""
-    b, h, w, c = images.shape
+
+def sharpen(images: Array, alpha: Array, lightness: Array) -> Array:
+    """imgaug Sharpen: blend with the UNNORMALIZED 3x3 kernel
+    [[-1,-1,-1],[-1, 8+l,-1],[-1,-1,-1]] (sums to l, so flat regions
+    scale by lightness — imgaug's exact semantics)."""
     lap = jnp.array([[-1.0, -1.0, -1.0],
                      [-1.0, 8.0, -1.0],
                      [-1.0, -1.0, -1.0]], jnp.float32)
 
     def one(img, li):
-        k = lap.at[1, 1].add(li)  # center 8+lightness
-        k = k / jnp.maximum(k.sum(), 1.0)
-        kern = jnp.tile(k[:, :, None, None], (1, 1, 1, c))
-        pad = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="reflect")
-        return jax.lax.conv_general_dilated(
-            pad[None], kern, (1, 1), "VALID", feature_group_count=c,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+        return _depthwise3x3(img, lap.at[1, 1].add(li))
 
     sharp = jax.vmap(one)(images, lightness)
     a = alpha[:, None, None, None]
@@ -110,17 +111,12 @@ def sharpen(images: Array, alpha: Array, lightness: Array) -> Array:
 
 def emboss(images: Array, alpha: Array, strength: Array) -> Array:
     """imgaug Emboss: blend with an embossing 3x3 response."""
-    b, h, w, c = images.shape
 
     def one(img, s):
         k = jnp.array([[-1.0 - s, -s, 0.0],
                        [-s, 1.0, s],
                        [0.0, s, 1.0 + s]], jnp.float32)
-        kern = jnp.tile(k[:, :, None, None], (1, 1, 1, c))
-        pad = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="reflect")
-        return jax.lax.conv_general_dilated(
-            pad[None], kern, (1, 1), "VALID", feature_group_count=c,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+        return _depthwise3x3(img, k)
 
     emb = jax.vmap(one)(images, strength)
     a = alpha[:, None, None, None]
