@@ -28,15 +28,19 @@ for name, aliases in [
     ARCHITECTURES.register(name, name, aliases=aliases)
 
 # --- backbones (reference: classification_models factory names) ---
+# Kept in lockstep with models/encoders/_SPECS by tests/test_config.py::
+# test_backbone_registry_matches_encoder_zoo so the two lists cannot drift
+# (round-1 regression: 6 implemented encoders were unreachable from YAML).
 for name in [
     "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
     "seresnet18", "seresnet34", "seresnet50",
+    "resnext50", "resnext101", "seresnext50", "seresnext101",
     "vgg16", "vgg19",
     "mobilenetv2",
     "efficientnetb0", "efficientnetb1", "efficientnetb2", "efficientnetb3",
     "efficientnetb4", "efficientnetb5", "efficientnetb6", "efficientnetb7",
     "densenet121", "densenet169", "densenet201",
-    "xception",
+    "xception", "inceptionv3", "inceptionresnetv2",
 ]:
     BACKBONES.register(name, name)
 

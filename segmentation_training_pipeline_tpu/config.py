@@ -45,7 +45,7 @@ _TOP_LEVEL_KEYS = {
     # optimization
     "optimizer", "lr", "loss", "batch", "metrics", "primary_metric",
     "primary_metric_mode", "clipnorm", "clipvalue", "weight_decay",
-    "class_weights",
+    "momentum", "class_weights",
     # folds / splits
     "folds_count", "testSplit", "random_state", "stratified",
     # sampling
@@ -246,7 +246,10 @@ class PipelineConfig:
     primary_metric_mode: str = "auto"
     clipnorm: Optional[float] = None
     clipvalue: Optional[float] = None
-    weight_decay: float = 0.0
+    # None = unset (AdamW then defaults to 1e-4); an explicit 0.0 disables
+    # decay even for AdamW — truthiness must not conflate the two
+    weight_decay: Optional[float] = None
+    momentum: float = 0.0  # SGD momentum (Keras SGD default is 0)
     class_weights: Optional[List[float]] = None
 
     # folds / splits
@@ -335,6 +338,23 @@ class PipelineConfig:
                 extra = f" Did you mean {hint!r}?" if hint else ""
                 raise ConfigError(f"unknown metric {m!r}.{extra}")
 
+        # primary_metric must actually appear in the epoch logs, else best-
+        # checkpointing silently never fires (every stage would save only
+        # final weights) — validate at parse time against loss + metrics
+        primary = str(d.get("primary_metric", "val_loss"))
+        stripped = primary[4:] if primary.startswith("val_") else primary
+        if stripped != "loss" and stripped not in metrics_list:
+            candidates = (["loss", "val_loss"]
+                          + metrics_list + [f"val_{m}" for m in metrics_list])
+            import difflib
+
+            m = difflib.get_close_matches(primary, candidates, n=1)
+            extra = f" Did you mean {m[0]!r}?" if m else ""
+            raise ConfigError(
+                f"primary_metric {primary!r} is not tracked: it must be "
+                f"'loss'/'val_loss' or one of metrics={metrics_list} "
+                f"(optionally 'val_'-prefixed).{extra}")
+
         # loss expressions are validated by the composite parser
         from .ops.losses import validate_loss_expr
 
@@ -387,7 +407,8 @@ class PipelineConfig:
             class_weights=class_weights,
             clipnorm=_opt_float(d.get("clipnorm")),
             clipvalue=_opt_float(d.get("clipvalue")),
-            weight_decay=float(d.get("weight_decay", 0.0)),
+            weight_decay=_opt_float(d.get("weight_decay")),
+            momentum=float(d.get("momentum", 0.0)),
             folds_count=int(d.get("folds_count", 5)),
             testSplit=float(d.get("testSplit", 0.0)),
             random_state=int(d.get("random_state", 33)),

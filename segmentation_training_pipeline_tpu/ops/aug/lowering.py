@@ -410,7 +410,15 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         imgs = ph.gaussian_noise(k2, imgs, _sample(k1, a, b, 0.0))
     elif name == "gaussianblur":
         a = args if not isinstance(args, dict) else args.get("sigma", 0.0)
-        imgs = ph.gaussian_blur(imgs, _sample(k, a, b, 0.0))
+        # static kernel support from the YAML sigma range (imgaug sizes its
+        # kernel ~2.5*sigma); a fixed radius silently under-blurs large sigmas
+        try:
+            sig_max = (float(a) if isinstance(a, (int, float))
+                       else max(float(v) for v in a))
+        except (TypeError, ValueError):
+            sig_max = 3.0
+        radius = int(min(max(3, math.ceil(2.5 * sig_max)), 64))
+        imgs = ph.gaussian_blur(imgs, _sample(k, a, b, 0.0), radius=radius)
     elif name in ("coarsedropout", "cutout"):
         a = args or {}
         if isinstance(a, (int, float, list, tuple)):

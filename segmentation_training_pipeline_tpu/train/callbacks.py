@@ -218,6 +218,14 @@ class CSVLogger(Callback):
 
     def on_train_begin(self, control):
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        if self.append and os.path.exists(self.path):
+            # crash-resume: keep the existing history and adopt its header
+            # so we don't write a second header line mid-file
+            with open(self.path) as f:
+                header = f.readline().strip()
+            if header:
+                cols = header.split(",")
+                self._keys = [c for c in cols if c not in ("epoch", "lr")]
         self._file = open(self.path, "a" if self.append else "w")
 
     def on_epoch_end(self, epoch, logs, control):

@@ -21,7 +21,7 @@ import jax
 import optax
 
 
-def _algo(name: str, momentum: float = 0.9):
+def _algo(name: str, momentum: float = 0.0):
     key = name.lower()
     if key == "adam":
         return optax.scale_by_adam()
@@ -30,7 +30,8 @@ def _algo(name: str, momentum: float = 0.9):
     if key == "nadam":
         return optax.scale_by_adam(nesterov=True)
     if key == "sgd":
-        return optax.trace(decay=momentum)
+        # Keras SGD defaults to momentum=0; the YAML `momentum:` key opts in
+        return optax.trace(decay=momentum) if momentum else optax.identity()
     if key == "rmsprop":
         return optax.scale_by_rms()
     if key == "adagrad":
@@ -51,8 +52,13 @@ def build_optimizer(cfg, freeze_encoder: bool = False) -> optax.GradientTransfor
         parts.append(optax.clip_by_global_norm(cfg.clipnorm))
     if cfg.clipvalue:
         parts.append(optax.clip(cfg.clipvalue))
-    parts.append(_algo(cfg.optimizer))
-    wd = cfg.weight_decay or (0.0 if cfg.optimizer.lower() != "adamw" else 1e-4)
+    parts.append(_algo(cfg.optimizer, momentum=getattr(cfg, "momentum", 0.0)))
+    # explicit `weight_decay: 0.0` must disable decay even for AdamW;
+    # only an UNSET value falls back to AdamW's conventional 1e-4
+    if cfg.weight_decay is None:
+        wd = 1e-4 if cfg.optimizer.lower() == "adamw" else 0.0
+    else:
+        wd = float(cfg.weight_decay)
     if wd:
         parts.append(optax.add_decayed_weights(wd))
     tx = optax.chain(*parts)

@@ -209,7 +209,10 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                    (cb.instantiate(s, cfg.directory)
                     for s in (cfg.callbacks + stage.callbacks))
                    if c is not None]
-            csv = cb.CSVLogger(cfg.metrics_path(fold, si))
+            # a checkpoint without a done-marker means this stage crashed
+            # mid-run — append to its metrics history instead of truncating
+            resuming = meta is not None and not meta.get("done")
+            csv = cb.CSVLogger(cfg.metrics_path(fold, si), append=resuming)
             cbs.append(csv)
             for c in cbs:
                 c.on_train_begin(control)

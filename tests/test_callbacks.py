@@ -95,3 +95,26 @@ def test_instantiate_from_spec(tmp_path):
     c = cb.instantiate({"name": "EarlyStopping", "args": {"patience": 3}}, ".")
     assert isinstance(c, cb.EarlyStopping) and c.patience == 3
     assert cb.instantiate({"name": "ModelCheckpoint", "args": {}}, ".") is None
+
+
+def test_csv_logger_append_resume(tmp_path):
+    """Crash-resume must extend the metrics history, not truncate it, and
+    must not write a second header mid-file."""
+    path = str(tmp_path / "metrics.csv")
+    ctrl = _ctrl()
+    c = cb.CSVLogger(path)
+    c.on_train_begin(ctrl)
+    c.on_epoch_end(0, {"loss": 1.0, "dice": 0.1}, ctrl)
+    c.on_train_end(ctrl)
+
+    c2 = cb.CSVLogger(path, append=True)
+    c2.on_train_begin(ctrl)
+    c2.on_epoch_end(1, {"loss": 0.5, "dice": 0.4}, ctrl)
+    c2.on_train_end(ctrl)
+
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == 3
+    assert lines[0].startswith("epoch,lr,")
+    assert all(not ln.startswith("epoch") for ln in lines[1:])
+    # appended row follows the ORIGINAL column order
+    assert lines[2].split(",")[2:] == ["0.5", "0.4"]

@@ -111,12 +111,49 @@ def test_case_insensitive_arch_and_aliases():
 
 
 def test_primary_mode_auto():
-    cfg = parse_dict({"primary_metric": "val_dice"})
+    cfg = parse_dict({"primary_metric": "val_dice", "metrics": ["dice"]})
     assert cfg.primary_mode() == "max"
     cfg = parse_dict({"primary_metric": "val_loss"})
     assert cfg.primary_mode() == "min"
-    cfg = parse_dict({"primary_metric": "val_dice", "primary_metric_mode": "min"})
+    cfg = parse_dict({"primary_metric": "val_dice", "metrics": ["dice"],
+                      "primary_metric_mode": "min"})
     assert cfg.primary_mode() == "min"
+
+
+def test_primary_metric_must_be_tracked():
+    # an untracked monitor would silently disable best-checkpointing
+    with pytest.raises(ConfigError, match="primary_metric"):
+        parse_dict({"primary_metric": "val_iou"})
+    with pytest.raises(ConfigError, match="primary_metric"):
+        parse_dict({"primary_metric": "val_iou", "metrics": ["dice"]})
+    # loss is always tracked; metrics members are, val_-prefixed or not
+    parse_dict({"primary_metric": "loss"})
+    parse_dict({"primary_metric": "iou", "metrics": ["iou"]})
+    parse_dict({"primary_metric": "val_iou", "metrics": ["iou"]})
+
+
+def test_backbone_registry_matches_encoder_zoo():
+    """Every implemented encoder must be reachable from YAML and vice versa
+    (round-1 regression: 6 encoders existed but were rejected by parse)."""
+    from segmentation_training_pipeline_tpu.config import (
+        BACKBONES, _populate_registries)
+    from segmentation_training_pipeline_tpu.models.encoders import (
+        known_backbones)
+
+    _populate_registries()
+    assert sorted(BACKBONES.names()) == sorted(known_backbones())
+    for name in known_backbones():
+        cfg = parse_dict({"backbone": name})
+        assert cfg.backbone == name
+
+
+def test_explicit_zero_weight_decay_and_momentum():
+    cfg = parse_dict({"optimizer": "AdamW", "weight_decay": 0.0})
+    assert cfg.weight_decay == 0.0
+    cfg = parse_dict({"optimizer": "AdamW"})
+    assert cfg.weight_decay is None
+    cfg = parse_dict({"optimizer": "SGD", "momentum": 0.9})
+    assert cfg.momentum == 0.9
 
 
 def test_shape_2d_gets_channels():
