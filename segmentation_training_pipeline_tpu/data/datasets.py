@@ -102,6 +102,58 @@ class LambdaDataSet(DataSet):
         return PredictionItem(i, np.asarray(x), None if y is None else np.asarray(y))
 
 
+class CropAndSplitDataSet(DataSet):
+    """N×N tile view for ``crops: N`` training (reference: the crop-split
+    wrapper in upstream ``impl/datasets.py``, unverified — SURVEY §2a
+    'Dataset layer' / §5 'long-context analog').
+
+    Item ``i`` is tile ``(r, c) = divmod(i % N², N)`` of parent item
+    ``i // N²``, cut from the ORIGINAL image/mask with the same
+    ``np.linspace`` grid the predict-side stitcher uses (infer.py), so a
+    model trained on tiles sees exactly the tiles it will be asked to
+    predict.  Fold assignment must stay at the parent level (expand parent
+    index plans with :func:`expand_tile_indices`) — tiles of one image in
+    both train and val would leak.
+    """
+
+    def __init__(self, parent: DataSet, n: int):
+        if n < 2:
+            raise ValueError("crops must be >= 2")
+        self.parent = parent
+        self.n = int(n)
+
+    def __len__(self):
+        return len(self.parent) * self.n * self.n
+
+    def __getitem__(self, idx):
+        n2 = self.n * self.n
+        if idx < 0:
+            idx += len(self)
+        pi, t = divmod(int(idx), n2)
+        r, c = divmod(t, self.n)
+        item = self.parent[pi]
+        H, W = item.x.shape[:2]
+        hs = np.linspace(0, H, self.n + 1).astype(int)
+        ws = np.linspace(0, W, self.n + 1).astype(int)
+        y0, y1 = int(hs[r]), int(hs[r + 1])
+        x0, x1 = int(ws[c]), int(ws[c + 1])
+        x = item.x[y0:y1, x0:x1]
+        y = None if item.y is None else item.y[y0:y1, x0:x1]
+        return PredictionItem(f"{item.id}#t{r}_{c}", x, y)
+
+
+def expand_tile_indices(parent_indices: np.ndarray, n: int,
+                        shuffle_seed: Optional[int] = None) -> np.ndarray:
+    """Parent-level index plan → tile-level plan into a CropAndSplitDataSet
+    (each parent index becomes its N² tile indices; optionally shuffled)."""
+    n2 = n * n
+    base = np.asarray(parent_indices, dtype=np.int64)
+    tiles = (base[:, None] * n2 + np.arange(n2)[None, :]).ravel()
+    if shuffle_seed is not None:
+        np.random.RandomState(shuffle_seed % (2 ** 31)).shuffle(tiles)
+    return tiles
+
+
 _IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp")
 
 

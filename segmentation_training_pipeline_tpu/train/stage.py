@@ -29,7 +29,8 @@ import numpy as np
 
 from ..config import METRICS, PipelineConfig
 from ..data.batcher import Prefetcher, make_batches
-from ..data.datasets import KFoldedDataSet
+from ..data.datasets import (CropAndSplitDataSet, KFoldedDataSet,
+                             expand_tile_indices)
 from ..models.factory import init_model, model_from_config, template_variables
 from ..ops.losses import build_loss
 from ..parallel.mesh import MeshSpec, build_mesh, replicated
@@ -71,11 +72,17 @@ def _weighted_epoch_mean(batches: List[Dict[str, np.ndarray]]) -> Dict[str, floa
 
 
 def _build_aug_fn(cfg: PipelineConfig):
-    if not cfg.augmentation and not cfg.transforms:
-        return None
-    from ..ops.aug.lowering import build_augmentation
+    """→ (train_aug_fn, transform_fn).
 
-    return build_augmentation(cfg.augmentation + cfg.transforms)
+    ``transforms:`` is deterministic preprocessing applied to train AND
+    val/predict (fixed RNG key — reference applies transforms to every
+    split; round-1 applied them train-only, so eval saw differently-
+    processed data).  ``augmentation:`` is stochastic and train-only,
+    applied AFTER the transforms.
+    """
+    from ..ops.aug.lowering import build_transform_fn
+
+    return build_transform_fn(cfg.transforms, cfg.augmentation)
 
 
 class _BestTracker:
@@ -125,9 +132,15 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
     mesh = _gcd_mesh(cfg)
     model = model_from_config(cfg)
     metric_fns = _metric_fns(cfg)
-    aug_fn = _build_aug_fn(cfg)
+    aug_fn, transform_fn = _build_aug_fn(cfg)
     kfold = (dataset if isinstance(dataset, KFoldedDataSet)
              else cfg.kfold(dataset))
+    # crops: N — train on N×N tiles of the original images (reference
+    # crop-split wrapper).  Folds/negatives stay parent-level (no tile
+    # leakage across train/val); the index plans expand to tiles below.
+    train_ds = kfold.dataset
+    if cfg.crops:
+        train_ds = CropAndSplitDataSet(kfold.dataset, cfg.crops)
 
     folds = list(foldsToExecute) if foldsToExecute is not None \
         else list(range(cfg.folds_count))
@@ -199,7 +212,8 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                 model, tx, loss_fn, metric_fns, cfg.activation,
                 cfg.preprocessing, aug_fn=aug_fn, donate=cfg.donate)
             eval_step = build_eval_step(
-                model, loss_fn, metric_fns, cfg.activation, cfg.preprocessing)
+                model, loss_fn, metric_fns, cfg.activation, cfg.preprocessing,
+                transform_fn=transform_fn)
             state = create_train_state(model, variables, tx)
             state = jax.device_put(state, replicated(stage_mesh))
 
@@ -223,6 +237,8 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                              if stage.validation_negatives is not None
                              else cfg.validation_negatives)
             val_idx = kfold.val_indices(fold, val_negatives)
+            if cfg.crops:
+                val_idx = expand_tile_indices(val_idx, cfg.crops)
             rng = jax.random.PRNGKey(cfg.random_state * 1000 + fold * 10 + si)
 
             if verbose:
@@ -249,10 +265,14 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                 if tracing:
                     jax.profiler.start_trace(profile_dir)
                 plan = kfold.epoch_indices(fold, epoch, negatives)
+                if cfg.crops:
+                    plan = expand_tile_indices(
+                        plan, cfg.crops,
+                        shuffle_seed=cfg.random_state * 31 + fold * 7 + epoch)
                 if stage.steps_per_epoch:
                     plan = plan[: stage.steps_per_epoch * batch]
                 gen = lambda: make_batches(  # noqa: E731
-                    kfold.dataset, plan, cfg.shape, cfg.classes,
+                    train_ds, plan, cfg.shape, cfg.classes,
                     cfg.activation, batch)
                 train_logs = []
                 for b in Prefetcher(gen, mesh=stage_mesh, depth=cfg.prefetch):
@@ -264,7 +284,7 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                     control.global_step += 1
 
                 vgen = lambda: make_batches(  # noqa: E731
-                    kfold.dataset, val_idx, cfg.shape, cfg.classes,
+                    train_ds, val_idx, cfg.shape, cfg.classes,
                     cfg.activation, batch)
                 val_logs = []
                 for b in Prefetcher(vgen, mesh=stage_mesh, depth=cfg.prefetch):
@@ -275,9 +295,16 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                     jax.profiler.stop_trace()
                     if verbose:
                         print(f"  profiler trace written to {profile_dir}")
-                epoch_logs: Dict[str, float] = {
-                    k: float(np.mean([d[k] for d in tl])) for k in tl[0]
-                } if tl else {}
+                # weight per-batch means by their real-example counts so the
+                # final wrap-padded batch doesn't bias small-dataset epochs
+                if tl:
+                    ws = np.asarray([float(d.get("_wsum", 1.0)) for d in tl])
+                    epoch_logs: Dict[str, float] = {
+                        k: float(np.sum([float(d[k]) * wt
+                                         for d, wt in zip(tl, ws)]) / ws.sum())
+                        for k in tl[0] if k != "_wsum"}
+                else:
+                    epoch_logs = {}
                 for k, v in _weighted_epoch_mean(val_logs).items():
                     epoch_logs[f"val_{k}"] = v
                 epoch_logs["time"] = time.time() - t0
