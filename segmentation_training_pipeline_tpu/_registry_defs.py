@@ -88,6 +88,14 @@ for name, aliases in [
     ("Emboss", ()),
     ("Dropout", ()),
     ("SaltAndPepper", ("SaltPepper",)),
+    ("PiecewiseAffine", ()),
+    ("PerspectiveTransform", ()),
+    ("AddToHueAndSaturation", ()),
+    ("MultiplyHueAndSaturation", ()),
+    # meta-augmenters (children validated recursively at parse time)
+    ("Sometimes", ()),
+    ("SomeOf", ()),
+    ("OneOf", ()),
 ]:
     AUGMENTERS.register(name, name, aliases=aliases)
 

@@ -214,6 +214,31 @@ def _normalize_augmentation(spec) -> List[Dict[str, Any]]:
             hint = AUGMENTERS.suggest(name)
             extra = f" Did you mean {hint!r}?" if hint else ""
             raise ConfigError(f"unknown augmenter {name!r}.{extra}")
+        # meta-augmenters carry child aug blocks — validate them recursively
+        # so a typo'd child name errors at parse time, not at trace time
+        low = name.lower()
+        if low == "sometimes":
+            if not isinstance(args, dict):
+                raise ConfigError(
+                    f"Sometimes expects {{p: ..., then: {{...}}}}, got {args!r}")
+            args = dict(args)
+            child = args.pop("then", None) or args.pop("children", None)
+            args["then"] = _normalize_augmentation(child)
+        elif low == "oneof":
+            if not isinstance(args, list) or not args:
+                raise ConfigError(
+                    f"OneOf expects a non-empty list of augmenters, got {args!r}")
+            args = [_normalize_augmentation(e if isinstance(e, (dict, list))
+                                            else [e]) for e in args]
+        elif low == "someof":
+            if not isinstance(args, dict) or "children" not in args:
+                raise ConfigError(
+                    f"SomeOf expects {{n: ..., children: [...]}}, got {args!r}")
+            args = dict(args)
+            args["children"] = [
+                _normalize_augmentation(e if isinstance(e, (dict, list))
+                                        else [e])
+                for e in args["children"]]
         out.append({"name": name, "args": args})
     return out
 

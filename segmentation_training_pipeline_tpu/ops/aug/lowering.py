@@ -24,6 +24,7 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+import functools
 import math
 import os
 
@@ -44,7 +45,10 @@ Array = jax.Array
 
 _GEOMETRIC = {"fliplr", "horizontalflip", "flipud", "verticalflip", "rot90",
               "affine", "crop", "croptofixedsize", "randomcrop",
-              "elastictransformation", "elastictransform", "elastic"}
+              "elastictransformation", "elastictransform", "elastic",
+              "piecewiseaffine", "perspectivetransform"}
+
+_META = {"sometimes", "someof", "oneof"}
 
 
 def _sample(rng: Array, spec: Any, b: int, default: float = 0.0) -> Array:
@@ -125,11 +129,152 @@ def _apply_cheap_geo(specs, rng, images, masks):
     return images, masks
 
 
+def _coerce_block(spec) -> List[Dict[str, Any]]:
+    """Accept raw YAML aug blocks ({Name: args} / list) or config-normalized
+    [{"name","args"}] lists and return the normalized list form."""
+    if spec is None:
+        return []
+    if isinstance(spec, dict):
+        if "name" in spec and "args" in spec and len(spec) == 2:
+            return [spec]
+        return [{"name": n, "args": a} for n, a in spec.items()]
+    out: List[Dict[str, Any]] = []
+    for entry in spec:
+        if isinstance(entry, str):
+            out.append({"name": entry, "args": None})
+        elif isinstance(entry, dict) and "name" in entry and "args" in entry:
+            out.append(entry)
+        elif isinstance(entry, dict) and len(entry) == 1:
+            n, a = next(iter(entry.items()))
+            out.append({"name": n, "args": a})
+        elif isinstance(entry, list):
+            raise ValueError(
+                "nested augmenter lists are only valid inside meta-augmenter "
+                f"children, got {entry!r}")
+        else:
+            raise ValueError(f"bad augmentation entry {entry!r}")
+    return out
+
+
 def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
     """specs: [{"name": ..., "args": ...}] (config-normalized) →
-    ``aug_fn(rng, images_u8, masks) -> (images_f32_0..255, masks)``."""
-    geo = [s for s in specs if s["name"].lower() in _GEOMETRIC]
-    photo = [s for s in specs if s["name"].lower() not in _GEOMETRIC]
+    ``aug_fn(rng, images_u8, masks) -> (images_f32_0..255, masks)``.
+
+    User block order is PRESERVED across the geometric/photometric boundary
+    (imgaug applies augmenters sequentially; `{Add: 10, Affine: ...}` adds
+    BEFORE warping so the warp fill stays 0 — round-1 silently reordered).
+    Contiguous runs of geometric augmenters still fuse into one warp each;
+    the common all-geo-then-photo block therefore still compiles to a
+    single sampling pass.
+    """
+    specs = _coerce_block(specs)
+
+    # order-preserving segmentation: geo runs fuse, photo/meta stay single
+    segments: List[Tuple[str, Any]] = []
+    for s in specs:
+        nm = s["name"].lower()
+        if nm in _GEOMETRIC:
+            if segments and segments[-1][0] == "geo":
+                segments[-1][1].append(s)
+            else:
+                segments.append(("geo", [s]))
+        elif nm in _META:
+            segments.append(("meta", s))
+        else:
+            segments.append(("photo", s))
+
+    seg_fns: List[Callable] = []
+    for i, (kind, item) in enumerate(segments):
+        if kind == "geo":
+            # uint8-exact gather only for the FIRST segment (photometrics
+            # before a warp leave non-integer values)
+            seg_fns.append(_make_geo_run(item, integer_input=(i == 0)))
+        elif kind == "meta":
+            seg_fns.append(_make_meta(item))
+        else:
+            seg_fns.append(functools.partial(_apply_photo, item))
+
+    def aug_fn(rng: Array, images: Array, masks: Array):
+        # images stay uint8 as long as possible (flip/rot90 runs are
+        # dtype-agnostic reverse+selects): at 512² B192 the eager f32 cast
+        # plus flip temporaries cost >1 GB HBM for nothing.  Consumers that
+        # need float (warps, photometrics) cast at their entry; the single
+        # output cast below fuses into the clip.
+        imgs = images
+        keys = jax.random.split(rng, max(len(seg_fns), 1))
+        for fn, k in zip(seg_fns, keys):
+            imgs, masks = fn(k, imgs, masks)
+        return jnp.clip(imgs.astype(jnp.float32), 0.0, 255.0), masks
+
+    return aug_fn
+
+
+def _solve_homography(dst: Array, src: Array) -> Array:
+    """DLT: per-image 3×3 H with H·(dst, 1) ∝ (src, 1) from 4 point pairs.
+    dst/src: (B, 4, 2) as (x, y).  Returns (B, 3, 3) with H[2,2]=1."""
+    b = dst.shape[0]
+    xd, yd = dst[..., 0], dst[..., 1]          # (B, 4)
+    xs, ys = src[..., 0], src[..., 1]
+    zeros = jnp.zeros_like(xd)
+    ones = jnp.ones_like(xd)
+    # rows for x': [xd, yd, 1, 0, 0, 0, -xd*xs, -yd*xs] · h = xs
+    rx = jnp.stack([xd, yd, ones, zeros, zeros, zeros, -xd * xs, -yd * xs],
+                   axis=-1)                     # (B, 4, 8)
+    ry = jnp.stack([zeros, zeros, zeros, xd, yd, ones, -xd * ys, -yd * ys],
+                   axis=-1)
+    A = jnp.concatenate([rx, ry], axis=1)       # (B, 8, 8)
+    rhs = jnp.concatenate([xs, ys], axis=1)     # (B, 8)
+    hvec = jnp.linalg.solve(A, rhs[..., None])[..., 0]  # (B, 8)
+    H = jnp.concatenate([hvec, jnp.ones((b, 1), hvec.dtype)], axis=1)
+    return H.reshape(b, 3, 3)
+
+
+def _perspective_field(k: Array, b: int, h: int, w: int,
+                       scale: Array) -> Tuple[Array, Array]:
+    """imgaug PerspectiveTransform as a residual displacement field:
+    corners move INWARD by |N(0, scale)|·dim (imgaug takes absolute values
+    of the sampled offsets), the jittered quad is mapped from the full
+    frame by a homography, and ``src - dst`` rides the existing
+    displacement machinery (no new sampler).  Deviation: imgaug crops to
+    the quad's bbox then resizes (keep_size) — equivalent up to its bbox
+    rounding."""
+    offs = jnp.abs(jax.random.normal(k, (b, 4, 2))) * scale[:, None, None]
+    offs = offs * jnp.asarray([w, h], jnp.float32)
+    # corner order: tl, tr, br, bl ; inward signs per corner
+    signs = jnp.asarray([[1, 1], [-1, 1], [-1, -1], [1, -1]], jnp.float32)
+    dst = jnp.asarray([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]],
+                      jnp.float32)
+    src = dst[None] + offs * signs[None]
+    Hm = _solve_homography(jnp.broadcast_to(dst, (b, 4, 2)), src)
+    jj = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ii = jnp.arange(h, dtype=jnp.float32)[:, None]
+    gx = jnp.broadcast_to(jj, (h, w))
+    gy = jnp.broadcast_to(ii, (h, w))
+    Hm = Hm[:, None, None]                       # (B,1,1,3,3)
+    denom = Hm[..., 2, 0] * gx + Hm[..., 2, 1] * gy + Hm[..., 2, 2]
+    denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+    xs = (Hm[..., 0, 0] * gx + Hm[..., 0, 1] * gy + Hm[..., 0, 2]) / denom
+    ys = (Hm[..., 1, 0] * gx + Hm[..., 1, 1] * gy + Hm[..., 1, 2]) / denom
+    return xs - gx, ys - gy
+
+
+def _piecewise_field(k: Array, b: int, h: int, w: int, scale: Array,
+                     nb_rows: int, nb_cols: int) -> Tuple[Array, Array]:
+    """imgaug PiecewiseAffine approximated as a bilinearly-upsampled grid
+    displacement field: each of the nb_rows×nb_cols control points moves
+    by N(0, scale·dim) px (imgaug's jitter distribution), interpolated
+    smoothly instead of Delaunay piecewise-affine patches (documented
+    deviation; fields agree to first order away from triangle edges)."""
+    coarse = jax.random.normal(k, (b, 2, nb_rows, nb_cols))
+    dx_c = coarse[:, 0] * (scale * w)[:, None, None]
+    dy_c = coarse[:, 1] * (scale * h)[:, None, None]
+    dx = jax.image.resize(dx_c, (b, h, w), "bilinear")
+    dy = jax.image.resize(dy_c, (b, h, w), "bilinear")
+    return dx, dy
+
+
+def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
+    """One contiguous run of geometric augmenters → ONE fused warp."""
 
     # fast path: flips/rot90 only → no warp gather at all (rot90 on
     # non-square images still needs the resizing warp, so square-only)
@@ -166,8 +311,10 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
         return True
 
     _ELASTIC_NAMES = ("elastictransformation", "elastictransform", "elastic")
+    # ops that contribute a displacement FIELD (not an affine factor)
+    _DISP_NAMES = _ELASTIC_NAMES + ("piecewiseaffine", "perspectivetransform")
     geo_nonelastic = [s for s in geo
-                      if s["name"].lower() not in _ELASTIC_NAMES]
+                      if s["name"].lower() not in _DISP_NAMES]
 
     def _static_magnification() -> float:
         """Static upper bound on how much the forward affine can magnify
@@ -217,19 +364,15 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
 
     _mag_bound = _static_magnification()
 
-    def aug_fn(rng: Array, images: Array, masks: Array):
+    def run(rng: Array, images: Array, masks: Array):
         b, h, w = images.shape[0], images.shape[1], images.shape[2]
         cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
-        keys = list(jax.random.split(rng, len(specs) + 2))
+        keys = list(jax.random.split(rng, len(geo) + 1))
 
         if _cheap_ok(h == w):
-            imgs = images.astype(jnp.float32)
-            if geo:
-                imgs, masks = _apply_cheap_geo(geo, keys[-1], imgs, masks)
-            for j, s in enumerate(photo):
-                imgs, masks = _apply_photo(s, keys[len(geo) + j], imgs, masks)
-            return jnp.clip(imgs, 0.0, 255.0), masks
+            return _apply_cheap_geo(geo, keys[-1], images, masks)
 
+        images = images.astype(jnp.float32)  # warps need float math
         mats = W.identity_mats(b)
         disp: Optional[Tuple[Array, Array]] = None
         disp_bound = 0.0  # static 6-sigma bound on |disp| (Pallas K)
@@ -337,8 +480,28 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
                     disp = (dx, dy)
                 else:
                     disp = (disp[0] + dx, disp[1] + dy)
+            elif name == "piecewiseaffine":
+                a = args if isinstance(args, dict) else {"scale": args}
+                k1, k2 = jax.random.split(k)
+                scale = _sample(k1, a.get("scale", [0.01, 0.05]), b)
+                _, sc_max = _static_bounds(a.get("scale"), 0.05)
+                nb_rows = int(a.get("nb_rows", 4))
+                nb_cols = int(a.get("nb_cols", 4))
+                dx, dy = _piecewise_field(k2, b, h, w, scale, nb_rows, nb_cols)
+                disp_bound += 6.0 * sc_max * max(h, w) + 1.0
+                disp = ((dx, dy) if disp is None
+                        else (disp[0] + dx, disp[1] + dy))
+            elif name == "perspectivetransform":
+                a = args if isinstance(args, dict) else {"scale": args}
+                k1, k2 = jax.random.split(k)
+                scale = _sample(k1, a.get("scale", [0.0, 0.06]), b)
+                _, sc_max = _static_bounds(a.get("scale"), 0.06)
+                dx, dy = _perspective_field(k2, b, h, w, scale)
+                disp_bound += 6.0 * sc_max * max(h, w) + 1.0
+                disp = ((dx, dy) if disp is None
+                        else (disp[0] + dx, disp[1] + dy))
 
-        imgs = images.astype(jnp.float32)
+        imgs = images
         if geo:
             # K bound for the Pallas elastic kernel: static 6-sigma field
             # bound scaled by the forward affine's static magnification
@@ -377,30 +540,174 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
             else:
                 # exact footprint gather: large/unbounded displacement,
                 # non-square frames with >=90-deg rotations, or CPU; u8
-                # taps are lossless (pre-photometric integer channels)
+                # taps are lossless only for integer-valued inputs (the
+                # first segment — later runs may follow photometrics)
                 imgs, masks = W.warp_joint(imgs, masks, mats, disp,
-                                           gather_u8=True)
-
-        for j, s in enumerate(photo):
-            imgs, masks = _apply_photo(s, keys[len(geo) + j], imgs, masks)
-
-        imgs = jnp.clip(imgs, 0.0, 255.0)
+                                           gather_u8=integer_input)
         return imgs, masks
 
-    return aug_fn
+    return run
+
+
+def _static_bounds(spec, default) -> Tuple[float, float]:
+    """Static (host-side) min/max of a YAML parameter range — safe under
+    jit tracing (plain Python only)."""
+    if spec is None:
+        spec = default
+    if isinstance(spec, (int, float)):
+        return float(spec), float(spec)
+    vals = [float(v) for v in np.asarray(spec).ravel()]
+    return min(vals), max(vals)
+
+
+def _make_meta(s: Dict[str, Any]) -> Callable:
+    """Sometimes / OneOf / SomeOf meta-augmenters (imgaug semantics):
+    child pipelines are built recursively; per-image selection is a
+    branch-free ``where`` between the child output and the input (children
+    are applied IN ORDER to the running batch, like imgaug with
+    random_order=False)."""
+    name = s["name"].lower()
+    args = s.get("args")
+
+    if name == "sometimes":
+        a = args if isinstance(args, dict) else {}
+        p = float(a.get("p", 0.5))
+        child = build_augmentation(_coerce_block(
+            a.get("then") or a.get("then_list") or a.get("children")))
+
+        def fn(k: Array, imgs: Array, masks: Array):
+            k1, k2 = jax.random.split(k)
+            out_i, out_m = child(k2, imgs, masks)
+            sel = jax.random.bernoulli(k1, p, (imgs.shape[0],))
+            sel4 = sel[:, None, None, None]
+            return (jnp.where(sel4, out_i, imgs),
+                    jnp.where(sel4, out_m, masks))
+
+        return fn
+
+    if name == "oneof":
+        entries = args if isinstance(args, list) else [args]
+        children = [build_augmentation(_coerce_block(
+            e if isinstance(e, list) else [e])) for e in entries]
+
+        def fn(k: Array, imgs: Array, masks: Array):
+            kc, *kks = jax.random.split(k, len(children) + 1)
+            choice = jax.random.randint(kc, (imgs.shape[0],), 0,
+                                        len(children))
+            for c, (child, kk) in enumerate(zip(children, kks)):
+                out_i, out_m = child(kk, imgs, masks)
+                sel4 = (choice == c)[:, None, None, None]
+                imgs = jnp.where(sel4, out_i, imgs)
+                masks = jnp.where(sel4, out_m, masks)
+            return imgs, masks
+
+        return fn
+
+    if name == "someof":
+        if isinstance(args, dict):
+            n_spec = args.get("n", 1)
+            entries = args.get("children") or args.get("then") or []
+        else:
+            raise ValueError(
+                "SomeOf expects {n: ..., children: [...]}, got "
+                f"{args!r}")
+        entries = entries if isinstance(entries, list) else [entries]
+        children = [build_augmentation(_coerce_block(
+            e if isinstance(e, list) else [e])) for e in entries]
+        kc_n = len(children)
+        if isinstance(n_spec, (list, tuple)):
+            n_lo, n_hi = int(n_spec[0]), int(n_spec[1])
+        else:
+            n_lo = n_hi = int(n_spec)
+        n_hi = min(n_hi, kc_n)
+
+        def fn(k: Array, imgs: Array, masks: Array):
+            b = imgs.shape[0]
+            kn, ks, *kks = jax.random.split(k, len(children) + 2)
+            ns = (jnp.full((b,), n_lo, jnp.int32) if n_lo == n_hi
+                  else jax.random.randint(kn, (b,), n_lo, n_hi + 1))
+            # exactly-n per-image subset: rank uniform scores, keep top-n
+            scores = jax.random.uniform(ks, (b, kc_n))
+            order = jnp.argsort(-scores, axis=1)
+            ranks = jnp.argsort(order, axis=1)
+            include = ranks < ns[:, None]
+            for c, (child, kk) in enumerate(zip(children, kks)):
+                out_i, out_m = child(kk, imgs, masks)
+                sel4 = include[:, c][:, None, None, None]
+                imgs = jnp.where(sel4, out_i, imgs)
+                masks = jnp.where(sel4, out_m, masks)
+            return imgs, masks
+
+        return fn
+
+    raise KeyError(f"meta augmenter {s['name']!r} has no lowering")
+
+
+def build_transform_fn(transforms: List[Dict[str, Any]],
+                       augmentation: List[Dict[str, Any]]):
+    """→ (train_aug_fn, eval_transform_fn) for the stage runner.
+
+    ``transforms`` run with a FIXED key (deterministic, every split,
+    applied first); ``augmentation`` runs with the per-step key at train
+    time only.  Either function is None when its spec list is empty.
+    """
+    t_fn = build_augmentation(transforms) if transforms else None
+    a_fn = build_augmentation(augmentation) if augmentation else None
+
+    def transform_fn(images, masks):
+        return t_fn(jax.random.PRNGKey(0), images, masks)
+
+    if t_fn is None:
+        return a_fn, None
+    if a_fn is None:
+        def train_fn(rng, images, masks):
+            return transform_fn(images, masks)
+
+        return train_fn, transform_fn
+
+    def train_fn(rng, images, masks):
+        images, masks = transform_fn(images, masks)
+        return a_fn(rng, images, masks)
+
+    return train_fn, transform_fn
+
+
+def _sample_maybe_per_channel(k: Array, spec: Any, b: int, c: int,
+                              per_channel: bool, default: float) -> Array:
+    """(B,) sample, or (B, C) when imgaug's per_channel=True is requested."""
+    if not per_channel:
+        return _sample(k, spec, b, default)
+    return _sample(k, spec, b * c, default).reshape(b, c)
 
 
 def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
                  masks: Array) -> Tuple[Array, Array]:
     name = s["name"].lower()
     args = s.get("args")
-    b = imgs.shape[0]
+    imgs = imgs.astype(jnp.float32)  # photometrics run in 0..255 float
+    b, c = imgs.shape[0], imgs.shape[-1]
+    per_ch = bool(isinstance(args, dict) and args.get("per_channel"))
     if name == "multiply":
         a = args if not isinstance(args, dict) else args.get("mul", 1.0)
-        imgs = ph.multiply(imgs, _sample(k, a, b, 1.0))
+        imgs = ph.multiply(imgs, _sample_maybe_per_channel(k, a, b, c,
+                                                           per_ch, 1.0))
     elif name == "add":
         a = args if not isinstance(args, dict) else args.get("value", 0.0)
-        imgs = ph.add(imgs, _sample(k, a, b, 0.0))
+        imgs = ph.add(imgs, _sample_maybe_per_channel(k, a, b, c,
+                                                      per_ch, 0.0))
+    elif name == "addtohueandsaturation":
+        a = args if isinstance(args, dict) else {"value": args}
+        k1, k2 = jax.random.split(k)
+        vh = _sample(k1, a.get("value_hue", a.get("value", [-30, 30])), b)
+        vs = _sample(k2, a.get("value_saturation", a.get("value", [-30, 30])),
+                     b)
+        imgs = ph.add_to_hue_and_saturation(imgs, vh, vs)
+    elif name == "multiplyhueandsaturation":
+        a = args if isinstance(args, dict) else {"mul": args}
+        k1, k2 = jax.random.split(k)
+        mh = _sample(k1, a.get("mul_hue", a.get("mul", [0.8, 1.2])), b)
+        ms = _sample(k2, a.get("mul_saturation", a.get("mul", [0.8, 1.2])), b)
+        imgs = ph.multiply_hue_and_saturation(imgs, mh, ms)
     elif name in ("linearcontrast", "contrastnormalization"):
         a = args if not isinstance(args, dict) else args.get("alpha", 1.0)
         imgs = ph.linear_contrast(imgs, _sample(k, a, b, 1.0))

@@ -16,12 +16,77 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def _bcast(param: Array) -> Array:
+    """(B,) → (B,1,1,1) or (B,C) → (B,1,1,C) (imgaug per_channel=True)."""
+    if param.ndim == 2:
+        return param[:, None, None, :]
+    return param[:, None, None, None]
+
+
 def multiply(images: Array, factor: Array) -> Array:
-    return images * factor[:, None, None, None]
+    return images * _bcast(factor)
 
 
 def add(images: Array, value: Array) -> Array:
-    return images + value[:, None, None, None]
+    return images + _bcast(value)
+
+
+# ---------------------------------------------------------------------------
+# HSV color ops (imgaug AddToHueAndSaturation / MultiplyHueAndSaturation).
+# OpenCV uint8 convention: H in [0, 180), S and V in [0, 255].
+# ---------------------------------------------------------------------------
+
+def _rgb_to_hsv(images: Array) -> Tuple[Array, Array, Array]:
+    r, g, b = images[..., 0], images[..., 1], images[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    c = mx - mn
+    safe_c = jnp.where(c > 0, c, 1.0)
+    hr = jnp.mod((g - b) / safe_c, 6.0)
+    hg = (b - r) / safe_c + 2.0
+    hb = (r - g) / safe_c + 4.0
+    hh = jnp.where(mx == r, hr, jnp.where(mx == g, hg, hb))
+    h = jnp.where(c > 0, hh * 30.0, 0.0)          # [0, 180)
+    s = jnp.where(mx > 0, c / jnp.where(mx > 0, mx, 1.0), 0.0) * 255.0
+    return h, s, mx
+
+
+def _hsv_to_rgb(h: Array, s: Array, v: Array) -> Array:
+    hh = h / 30.0                                  # [0, 6)
+    c = (s / 255.0) * v
+    x = c * (1.0 - jnp.abs(jnp.mod(hh, 2.0) - 1.0))
+    m = v - c
+    zero = jnp.zeros_like(c)
+    i = jnp.floor(hh).astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [c, x, zero, zero, x], c)
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [x, c, c, x, zero], zero)
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [zero, zero, x, c, c], x)
+    return jnp.stack([r + m, g + m, b + m], axis=-1)
+
+
+def add_to_hue_and_saturation(images: Array, value_hue: Array,
+                              value_sat: Array) -> Array:
+    """imgaug AddToHueAndSaturation: value range (-255, 255); hue adds at
+    half weight (H spans 0..180 in OpenCV space) with wraparound, saturation
+    adds clipped."""
+    if images.shape[-1] != 3:
+        return images
+    h, s, v = _rgb_to_hsv(images)
+    h = jnp.mod(h + 0.5 * value_hue[:, None, None], 180.0)
+    s = jnp.clip(s + value_sat[:, None, None], 0.0, 255.0)
+    return _hsv_to_rgb(h, s, v)
+
+
+def multiply_hue_and_saturation(images: Array, mul_hue: Array,
+                                mul_sat: Array) -> Array:
+    """imgaug MultiplyHueAndSaturation: hue scales about the 0-origin with
+    wraparound, saturation scales clipped."""
+    if images.shape[-1] != 3:
+        return images
+    h, s, v = _rgb_to_hsv(images)
+    h = jnp.mod(h * mul_hue[:, None, None], 180.0)
+    s = jnp.clip(s * mul_sat[:, None, None], 0.0, 255.0)
+    return _hsv_to_rgb(h, s, v)
 
 
 def linear_contrast(images: Array, alpha: Array) -> Array:

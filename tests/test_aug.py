@@ -213,7 +213,7 @@ class TestPipelineProperties:
 
     def test_unknown_augmenter_raises(self):
         with pytest.raises(KeyError, match="lowering"):
-            _run([("PiecewiseAffine", 0.5)], _imgs(), _masks())
+            _run([("Jigsaw", 0.5)], _imgs(), _masks())
 
 
 class TestNewPhotometric:

@@ -87,7 +87,8 @@ class TestLoweringDispatch:
         pi, pm = aug_p(key, jnp.asarray(imgs_u8), msk)
 
         # same RNG stream -> same affine + same field; paths differ by
-        # multipass-vs-single-pass interpolation only
-        assert float(jnp.abs(gi - pi).mean()) < 3.0  # 0..255 scale
+        # multipass-vs-single-pass interpolation and the kernel's
+        # x-field-at-shifted-y approximation (sub-pixel, PERF.md)
+        assert float(jnp.abs(gi - pi).mean()) < 5.0  # 0..255 scale
         agree = float(((gm > 0.5) == (pm > 0.5)).mean())
         assert agree > 0.95
