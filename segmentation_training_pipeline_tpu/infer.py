@@ -57,12 +57,23 @@ class InferenceBundle:
 
     def _build(self):
         model, cfg, tta = self.model, self.cfg, self.tta
+        # deterministic `transforms:` preprocessing applies at prediction
+        # too (same processing the model trained on); masks don't exist
+        # here, so a dummy rides the joint transform and is discarded
+        transform_fn = None
+        if cfg.transforms:
+            from .ops.aug.lowering import build_transform_fn
+
+            _, transform_fn = build_transform_fn(cfg.transforms, [])
 
         def fwd(variables, x):
             logits = model.apply(variables, x, train=False)
             return apply_activation(logits, cfg.activation)
 
         def _step(variables, images):
+            if transform_fn is not None:
+                dummy = jnp.zeros((*images.shape[:3], 1), jnp.float32)
+                images, _ = transform_fn(images, dummy)
             x = preprocess(images, cfg.preprocessing or "tf", model.dtype)
             p = fwd(variables, x)
             if tta in ("flip", "hflip", True):

@@ -58,9 +58,19 @@ def build_train_step(model, tx, loss_fn, metric_fns: Dict[str, Callable],
                      donate: bool = True):
     """→ train_step(state, batch, lr, rng) -> (state, logs)."""
 
+    # per-example loss so the final wrap-padded batch's duplicate rows get
+    # weight 0 (no double gradient, no biased logs).  Every bundled loss is
+    # a per-image mean already, so this is semantics-preserving for full
+    # batches (weight ≡ 1 → identical value and gradient).
+    per_loss = jax.vmap(lambda yt, lg: loss_fn(yt[None], lg[None]))
+
     def _step(state: TrainState, batch, lr, rng):
         aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
         images, masks = batch["image"], batch["mask"]
+        w = batch.get("weight")
+        if w is None:
+            w = jnp.ones((images.shape[0],), jnp.float32)
+        wsum = jnp.maximum(w.sum(), 1.0)
         if aug_fn is not None:
             images, masks = aug_fn(aug_rng, images, masks)
         x = preprocess(images, preprocessing or "tf", model.dtype)
@@ -72,7 +82,8 @@ def build_train_step(model, tx, loss_fn, metric_fns: Dict[str, Callable],
                 x, train=True, mutable=["batch_stats"],
                 rngs={"dropout": drop_rng},
             )
-            return loss_fn(masks, logits), (upd["batch_stats"], logits)
+            loss = (per_loss(masks, logits) * w).sum() / wsum
+            return loss, (upd["batch_stats"], logits)
 
         (loss, (new_bs, logits)), grads = jax.value_and_grad(
             lf, has_aux=True)(state.params)
@@ -85,7 +96,9 @@ def build_train_step(model, tx, loss_fn, metric_fns: Dict[str, Callable],
         if metric_fns:
             probs = apply_activation(logits, activation)
             for name, fn in metric_fns.items():
-                logs[name] = fn(masks, probs, activation)
+                per = _per_example(fn)(masks, probs, activation)
+                logs[name] = (per * w).sum() / wsum
+        logs["_wsum"] = w.sum()  # real-example count for epoch averaging
         new_state = TrainState(
             params=params, batch_stats=new_bs, opt_state=new_opt,
             step=state.step + 1,
@@ -96,18 +109,24 @@ def build_train_step(model, tx, loss_fn, metric_fns: Dict[str, Callable],
 
 
 def build_eval_step(model, loss_fn, metric_fns: Dict[str, Callable],
-                    activation: str, preprocessing: Optional[str]):
+                    activation: str, preprocessing: Optional[str],
+                    transform_fn: Optional[Callable] = None):
     """→ eval_step(state, batch) -> per-example logs dict + 'weight'.
 
     Per-example values let the host compute padding-corrected epoch means
     (the final wrap-padded batch contributes weight 0 for padded rows).
+    ``transform_fn`` is the deterministic ``transforms:`` preprocessing —
+    validation must see the same processing as training.
     """
 
     per_loss = jax.vmap(lambda yt, lg: loss_fn(yt[None], lg[None]))
 
     def _step(state: TrainState, batch):
-        x = preprocess(batch["image"], preprocessing or "tf", model.dtype)
-        masks = batch["mask"].astype(jnp.float32)
+        images, masks = batch["image"], batch["mask"]
+        if transform_fn is not None:
+            images, masks = transform_fn(images, masks)
+        x = preprocess(images, preprocessing or "tf", model.dtype)
+        masks = masks.astype(jnp.float32)
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             x, train=False,
