@@ -113,6 +113,139 @@ def jax_to_np(tree):
 
 
 # ---------------------------------------------------------------------------
+# shared put-helpers for torch-format converters
+# ---------------------------------------------------------------------------
+
+def _put_conv(state, dst: Dict[str, Any], key: str,
+              bias_key: Optional[str] = None):
+    w = _torch_conv(state[key])
+    tgt = dst["kernel"]
+    if tuple(tgt.shape) != w.shape:
+        raise PretrainedWeightsError(
+            f"{key}: shape {w.shape} != target {tuple(tgt.shape)}")
+    dst["kernel"] = w.astype(tgt.dtype)
+    if bias_key is not None:
+        b = np.asarray(state[bias_key])
+        if tuple(dst["bias"].shape) != b.shape:
+            raise PretrainedWeightsError(
+                f"{bias_key}: shape {b.shape} != {tuple(dst['bias'].shape)}")
+        dst["bias"] = b.astype(dst["bias"].dtype)
+
+
+def _put_bn(state, dst_p: Dict[str, Any], dst_s: Dict[str, Any], prefix: str):
+    pairs = [("weight", dst_p, "scale"), ("bias", dst_p, "bias"),
+             ("running_mean", dst_s, "mean"), ("running_var", dst_s, "var")]
+    for tkey, tree, fkey in pairs:
+        v = np.asarray(state[f"{prefix}.{tkey}"])
+        tgt = tree[fkey]
+        if tuple(tgt.shape) != v.shape:
+            raise PretrainedWeightsError(
+                f"{prefix}.{tkey}: shape {v.shape} != {tuple(tgt.shape)}")
+        tree[fkey] = v.astype(tgt.dtype)
+
+
+# ---------------------------------------------------------------------------
+# torchvision-efficientnet naming → our EfficientNetEncoder tree
+# (torchvision `efficientnet_b{0..7}` state dicts: `features.0` stem,
+#  `features.{1..7}.{i}.block.*` MBConv stages, `features.8` head.)
+# Deviation note: torchvision pads stride-2 convs symmetrically while this
+# encoder uses XLA SAME padding — a sub-pixel spatial offset, weights
+# convert exactly.
+# ---------------------------------------------------------------------------
+
+def convert_torch_efficientnet(state: Dict[str, Any],
+                               params_enc: Dict[str, Any],
+                               stats_enc: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    import copy
+
+    params = copy.deepcopy(jax_to_np(params_enc))
+    stats = copy.deepcopy(jax_to_np(stats_enc))
+
+    _put_conv(state, params["stem_conv"], "features.0.0.weight")
+    _put_bn(state, params["stem_bn"], stats["stem_bn"], "features.0.1")
+
+    for si in range(7):
+        i = 0
+        while f"stage{si}_block{i}" in params:
+            mod = f"stage{si}_block{i}"
+            blk_p, blk_s = params[mod], stats[mod]
+            p = f"features.{si + 1}.{i}.block"
+            if f"{p}.0.0.weight" not in state:
+                raise PretrainedWeightsError(
+                    f"state dict missing {p} — depth mismatch "
+                    "(wrong efficientnet variant?)")
+            has_expand = "expand" in blk_p
+            off = 0
+            if has_expand:
+                _put_conv(state, blk_p["expand"], f"{p}.0.0.weight")
+                _put_bn(state, blk_p["expand_bn"], blk_s["expand_bn"],
+                        f"{p}.0.1")
+                off = 1
+            _put_conv(state, blk_p["depthwise"], f"{p}.{off}.0.weight")
+            _put_bn(state, blk_p["dw_bn"], blk_s["dw_bn"], f"{p}.{off}.1")
+            se = blk_p["se"]
+            _put_conv(state, se["reduce"], f"{p}.{off + 1}.fc1.weight",
+                      f"{p}.{off + 1}.fc1.bias")
+            _put_conv(state, se["expand"], f"{p}.{off + 1}.fc2.weight",
+                      f"{p}.{off + 1}.fc2.bias")
+            _put_conv(state, blk_p["project"], f"{p}.{off + 2}.0.weight")
+            _put_bn(state, blk_p["project_bn"], blk_s["project_bn"],
+                    f"{p}.{off + 2}.1")
+            i += 1
+        if i == 0:
+            raise PretrainedWeightsError(
+                f"encoder has no stage{si} blocks — not an efficientnet?")
+    _put_conv(state, params["head_conv"], "features.8.0.weight")
+    _put_bn(state, params["head_bn"], stats["head_bn"], "features.8.1")
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# torchvision-mobilenet_v2 naming → our MobileNetV2Encoder tree
+# (`features.0` stem, `features.{1..17}.conv.*` inverted residuals,
+#  `features.18` head.)
+# ---------------------------------------------------------------------------
+
+def convert_torch_mobilenetv2(state: Dict[str, Any],
+                              params_enc: Dict[str, Any],
+                              stats_enc: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    import copy
+
+    params = copy.deepcopy(jax_to_np(params_enc))
+    stats = copy.deepcopy(jax_to_np(stats_enc))
+
+    _put_conv(state, params["stem_conv"], "features.0.0.weight")
+    _put_bn(state, params["stem_bn"], stats["stem_bn"], "features.0.1")
+
+    bi = 0
+    while f"block{bi}" in params:
+        mod = f"block{bi}"
+        blk_p, blk_s = params[mod], stats[mod]
+        p = f"features.{bi + 1}.conv"
+        if f"{p}.0.0.weight" not in state:
+            raise PretrainedWeightsError(
+                f"state dict missing {p} — depth mismatch (not mobilenet_v2?)")
+        if "expand" in blk_p:
+            _put_conv(state, blk_p["expand"], f"{p}.0.0.weight")
+            _put_bn(state, blk_p["expand_bn"], blk_s["expand_bn"], f"{p}.0.1")
+            _put_conv(state, blk_p["depthwise"], f"{p}.1.0.weight")
+            _put_bn(state, blk_p["dw_bn"], blk_s["dw_bn"], f"{p}.1.1")
+            _put_conv(state, blk_p["project"], f"{p}.2.weight")
+            _put_bn(state, blk_p["project_bn"], blk_s["project_bn"], f"{p}.3")
+        else:  # expansion-1 first block: depthwise / project only
+            _put_conv(state, blk_p["depthwise"], f"{p}.0.0.weight")
+            _put_bn(state, blk_p["dw_bn"], blk_s["dw_bn"], f"{p}.0.1")
+            _put_conv(state, blk_p["project"], f"{p}.1.weight")
+            _put_bn(state, blk_p["project_bn"], blk_s["project_bn"], f"{p}.2")
+        bi += 1
+    if bi == 0:
+        raise PretrainedWeightsError("encoder has no block0 — not mobilenetv2?")
+    _put_conv(state, params["head_conv"], "features.18.0.weight")
+    _put_bn(state, params["head_bn"], stats["head_bn"], "features.18.1")
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
 # npz round-trip of our own encoder tree
 # ---------------------------------------------------------------------------
 
@@ -204,11 +337,19 @@ def load_encoder_weights(backbone: str, spec: str,
             state = state.state_dict()
         state = {k: v.numpy() if hasattr(v, "numpy") else v
                  for k, v in state.items()}
-        if not backbone.startswith(("resnet", "seresnet")):
+        if backbone.startswith(("resnet", "seresnet")):
+            new_p, new_s = convert_torch_resnet(state, params_enc, stats_enc)
+        elif backbone.startswith("efficientnet"):
+            new_p, new_s = convert_torch_efficientnet(state, params_enc,
+                                                      stats_enc)
+        elif backbone == "mobilenetv2":
+            new_p, new_s = convert_torch_mobilenetv2(state, params_enc,
+                                                     stats_enc)
+        else:
             raise PretrainedWeightsError(
-                f"torch-format conversion implemented for the resnet family; "
-                f"got backbone {backbone!r} (use npz export instead)")
-        new_p, new_s = convert_torch_resnet(state, params_enc, stats_enc)
+                f"torch-format conversion implemented for resnet/seresnet, "
+                f"efficientnetb0-7 and mobilenetv2; got backbone "
+                f"{backbone!r} (use npz export instead)")
     else:
         raise PretrainedWeightsError(
             f"unsupported weights format: {path} (want .pt/.pth/.npz)")

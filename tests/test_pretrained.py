@@ -138,3 +138,167 @@ def test_torch_pt_file_roundtrip(r18_vars, tmp_path):
     want = np.transpose(state["conv1.weight"].numpy(), (2, 3, 1, 0))
     np.testing.assert_array_equal(out["params"]["encoder"]["stem_conv"]["kernel"],
                                   want)
+
+
+# ---------------------------------------------------------------------------
+# efficientnet / mobilenetv2 torch-format converters (round-2)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def effb0_vars():
+    m = create_model("Unet", "efficientnetb0", classes=1, dtype="float32")
+    return jax.device_get(init_model(m, (32, 32, 3), seed=0))
+
+
+@pytest.fixture(scope="module")
+def mbv2_vars():
+    m = create_model("Unet", "mobilenetv2", classes=1, dtype="float32")
+    return jax.device_get(init_model(m, (32, 32, 3), seed=0))
+
+
+def _conv_t(r, kern):  # inverse of the converter's HWIO <- OIHW transpose
+    return np.transpose(r.randn(*kern.shape).astype(np.float32), (3, 2, 0, 1))
+
+
+def _add_bn(state, r, prefix, scale):
+    n = scale.shape[0]
+    state[f"{prefix}.weight"] = r.randn(n).astype(np.float32)
+    state[f"{prefix}.bias"] = r.randn(n).astype(np.float32)
+    state[f"{prefix}.running_mean"] = r.randn(n).astype(np.float32)
+    state[f"{prefix}.running_var"] = np.abs(r.randn(n)).astype(np.float32)
+
+
+def _synthetic_torch_effnet(params_enc, seed=0):
+    """torchvision efficientnet_b0-style state dict with shapes derived
+    from our encoder tree (inverse mapping of convert_torch_efficientnet)."""
+    r = np.random.RandomState(seed)
+    state = {}
+    state["features.0.0.weight"] = _conv_t(r, params_enc["stem_conv"]["kernel"])
+    _add_bn(state, r, "features.0.1", params_enc["stem_bn"]["scale"])
+    for si in range(7):
+        i = 0
+        while f"stage{si}_block{i}" in params_enc:
+            blk = params_enc[f"stage{si}_block{i}"]
+            p = f"features.{si + 1}.{i}.block"
+            off = 0
+            if "expand" in blk:
+                state[f"{p}.0.0.weight"] = _conv_t(r, blk["expand"]["kernel"])
+                _add_bn(state, r, f"{p}.0.1", blk["expand_bn"]["scale"])
+                off = 1
+            state[f"{p}.{off}.0.weight"] = _conv_t(r, blk["depthwise"]["kernel"])
+            _add_bn(state, r, f"{p}.{off}.1", blk["dw_bn"]["scale"])
+            se = blk["se"]
+            state[f"{p}.{off+1}.fc1.weight"] = _conv_t(r, se["reduce"]["kernel"])
+            state[f"{p}.{off+1}.fc1.bias"] = r.randn(
+                *se["reduce"]["bias"].shape).astype(np.float32)
+            state[f"{p}.{off+1}.fc2.weight"] = _conv_t(r, se["expand"]["kernel"])
+            state[f"{p}.{off+1}.fc2.bias"] = r.randn(
+                *se["expand"]["bias"].shape).astype(np.float32)
+            state[f"{p}.{off+2}.0.weight"] = _conv_t(r, blk["project"]["kernel"])
+            _add_bn(state, r, f"{p}.{off+2}.1", blk["project_bn"]["scale"])
+            i += 1
+    state["features.8.0.weight"] = _conv_t(r, params_enc["head_conv"]["kernel"])
+    _add_bn(state, r, "features.8.1", params_enc["head_bn"]["scale"])
+    return state
+
+
+def _synthetic_torch_mbv2(params_enc, seed=0):
+    r = np.random.RandomState(seed)
+    state = {}
+    state["features.0.0.weight"] = _conv_t(r, params_enc["stem_conv"]["kernel"])
+    _add_bn(state, r, "features.0.1", params_enc["stem_bn"]["scale"])
+    bi = 0
+    while f"block{bi}" in params_enc:
+        blk = params_enc[f"block{bi}"]
+        p = f"features.{bi + 1}.conv"
+        if "expand" in blk:
+            state[f"{p}.0.0.weight"] = _conv_t(r, blk["expand"]["kernel"])
+            _add_bn(state, r, f"{p}.0.1", blk["expand_bn"]["scale"])
+            state[f"{p}.1.0.weight"] = _conv_t(r, blk["depthwise"]["kernel"])
+            _add_bn(state, r, f"{p}.1.1", blk["dw_bn"]["scale"])
+            state[f"{p}.2.weight"] = _conv_t(r, blk["project"]["kernel"])
+            _add_bn(state, r, f"{p}.3", blk["project_bn"]["scale"])
+        else:
+            state[f"{p}.0.0.weight"] = _conv_t(r, blk["depthwise"]["kernel"])
+            _add_bn(state, r, f"{p}.0.1", blk["dw_bn"]["scale"])
+            state[f"{p}.1.weight"] = _conv_t(r, blk["project"]["kernel"])
+            _add_bn(state, r, f"{p}.2", blk["project_bn"]["scale"])
+        bi += 1
+    state["features.18.0.weight"] = _conv_t(r, params_enc["head_conv"]["kernel"])
+    _add_bn(state, r, "features.18.1", params_enc["head_bn"]["scale"])
+    return state
+
+
+class TestEfficientNetConvert:
+    def test_values_land_transposed(self, effb0_vars):
+        from segmentation_training_pipeline_tpu.models.pretrained import (
+            convert_torch_efficientnet)
+
+        p = effb0_vars["params"]["encoder"]
+        s = effb0_vars["batch_stats"]["encoder"]
+        state = _synthetic_torch_effnet(p)
+        new_p, new_s = convert_torch_efficientnet(state, p, s)
+        want = np.transpose(state["features.0.0.weight"], (2, 3, 1, 0))
+        np.testing.assert_array_equal(new_p["stem_conv"]["kernel"], want)
+        # SE biases ride along (stage 0 block 0 has no expand -> se at .1)
+        np.testing.assert_array_equal(
+            new_p["stage0_block0"]["se"]["reduce"]["bias"],
+            state["features.1.0.block.1.fc1.bias"])
+        np.testing.assert_array_equal(
+            new_s["head_bn"]["var"], state["features.8.1.running_var"])
+
+    def test_wrong_variant_raises(self, effb0_vars):
+        from segmentation_training_pipeline_tpu.models.pretrained import (
+            convert_torch_efficientnet)
+
+        p = effb0_vars["params"]["encoder"]
+        s = effb0_vars["batch_stats"]["encoder"]
+        state = _synthetic_torch_effnet(p)
+        del state["features.2.1.block.0.0.weight"]  # drop a block (b0->"b-1")
+        with pytest.raises(PretrainedWeightsError):
+            convert_torch_efficientnet(state, p, s)
+
+    def test_imagenet_resolution_via_pt(self, effb0_vars, tmp_path,
+                                        monkeypatch):
+        torch = pytest.importorskip("torch")
+        p = effb0_vars["params"]["encoder"]
+        state = {k: torch.from_numpy(np.asarray(v))
+                 for k, v in _synthetic_torch_effnet(p).items()}
+        root = tmp_path / "pre"
+        root.mkdir()
+        torch.save(state, str(root / "efficientnetb0.pt"))
+        monkeypatch.setenv("STP_PRETRAINED_DIR", str(root))
+        out = load_encoder_weights("efficientnetb0", "imagenet", effb0_vars)
+        assert out is not None
+        want = np.transpose(state["features.0.0.weight"].numpy(), (2, 3, 1, 0))
+        np.testing.assert_array_equal(
+            out["params"]["encoder"]["stem_conv"]["kernel"], want)
+
+
+class TestMobileNetV2Convert:
+    def test_values_land_transposed(self, mbv2_vars):
+        from segmentation_training_pipeline_tpu.models.pretrained import (
+            convert_torch_mobilenetv2)
+
+        p = mbv2_vars["params"]["encoder"]
+        s = mbv2_vars["batch_stats"]["encoder"]
+        state = _synthetic_torch_mbv2(p)
+        new_p, new_s = convert_torch_mobilenetv2(state, p, s)
+        want = np.transpose(state["features.0.0.weight"], (2, 3, 1, 0))
+        np.testing.assert_array_equal(new_p["stem_conv"]["kernel"], want)
+        # block0 is the expansion-1 block
+        w = np.transpose(state["features.1.conv.1.weight"], (2, 3, 1, 0))
+        np.testing.assert_array_equal(new_p["block0"]["project"]["kernel"], w)
+        np.testing.assert_array_equal(
+            new_s["head_bn"]["mean"], state["features.18.1.running_mean"])
+
+    def test_shape_mismatch_raises(self, mbv2_vars):
+        from segmentation_training_pipeline_tpu.models.pretrained import (
+            convert_torch_mobilenetv2)
+
+        p = mbv2_vars["params"]["encoder"]
+        s = mbv2_vars["batch_stats"]["encoder"]
+        state = _synthetic_torch_mbv2(p)
+        state["features.0.0.weight"] = np.zeros((31, 3, 3, 3), np.float32)
+        with pytest.raises(PretrainedWeightsError, match="features.0.0"):
+            convert_torch_mobilenetv2(state, p, s)
