@@ -61,14 +61,24 @@ class SegmentationModel(nn.Module):
                 f"{sorted(set(_DECODERS))}"
             )
         enc_cls, enc_kw = encoder_spec(self.backbone)
-        if self.remat:
-            # rematerialize encoder activations in backward (HBM for FLOPs)
-            enc_cls = nn.remat(enc_cls, static_argnums=(2,))
         dec_cls = _DECODERS[arch]
+        dec_kw = {}
+        if self.remat:
+            # rematerialize BOTH halves in backward (HBM for FLOPs).  The
+            # decoder matters more than the encoder at 512²: its
+            # full/half-res stages are the HBM hog (PERF.md round-1 — B192
+            # OOM'd at 26G with encoder-only remat).  Unet checkpoints
+            # PER-STAGE (whole-block remat still leaves the high-res stages
+            # live together); other decoders use block remat.
+            enc_cls = nn.remat(enc_cls, static_argnums=(2,))
+            if arch == "unet":
+                dec_kw["remat"] = True
+            else:
+                dec_cls = nn.remat(dec_cls, static_argnums=(2,))
 
         x = x.astype(self.dtype)
         feats = enc_cls(**enc_kw, dtype=self.dtype, name="encoder")(x, train)
-        y = dec_cls(dtype=self.dtype, name="decoder")(feats, train)
+        y = dec_cls(dtype=self.dtype, name="decoder", **dec_kw)(feats, train)
         if self.dropout > 0:
             y = nn.Dropout(self.dropout, deterministic=not train)(y)
         logits = nn.Conv(self.classes, (1, 1), dtype=jnp.float32,

@@ -123,3 +123,48 @@ def test_explicit_mesh_config(tmp_path, toy_ds):
         directory=str(tmp_path))
     res = cfg.fit(toy_ds, foldsToExecute=[0], verbose=0)
     assert "fold0.stage0" in res
+
+
+@pytest.mark.slow
+def test_flagship_shape_space2_matches_single_device():
+    """512² Unet-resnet34 with space=2 spatial partitioning on the virtual
+    mesh: the sharded step's loss and gradients-applied params must match
+    single-device math (halo exchange through the decoder's resizes —
+    round-1 only asserted this at 32-64²)."""
+    cfg = parse_dict(dict(
+        architecture="Unet", backbone="resnet34", shape=[512, 512, 3],
+        classes=1, activation="sigmoid", loss="binary_crossentropy",
+        optimizer="SGD", lr=1e-2, dtype="float32"))
+    model = create_model("Unet", "resnet34", classes=1, dtype="float32")
+    variables = init_model(model, (512, 512, 3), seed=0)
+    tx = build_optimizer(cfg)
+    step = build_train_step(model, tx, build_loss(cfg.loss, "sigmoid"), {},
+                            "sigmoid", "tf", aug_fn=None, donate=False)
+    state = create_train_state(model, variables, tx)
+    r = np.random.RandomState(0)
+    batch = {
+        "image": r.randint(0, 255, (4, 512, 512, 3), dtype=np.uint8),
+        "mask": (r.rand(4, 512, 512, 1) > 0.5).astype(np.float32),
+    }
+    lr = jnp.asarray(1e-2, jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    sstate, slogs = step(state, batch, lr, key)
+    sloss = float(jax.device_get(slogs["loss"]))
+
+    mesh = build_mesh(MeshSpec(data=2, space=2),
+                      devices=jax.devices()[:4])
+    dstate, dbatch = _put(state, batch, mesh)
+    mstate, mlogs = step(dstate, dbatch, lr, key)
+    mloss = float(jax.device_get(mlogs["loss"]))
+    assert np.isfinite(mloss)
+    np.testing.assert_allclose(mloss, sloss, rtol=2e-5, atol=2e-6)
+    # spot-check a stem kernel and a decoder kernel after the update
+    sp = jax.device_get(sstate.params)
+    mp = jax.device_get(mstate.params)
+    np.testing.assert_allclose(
+        mp["encoder"]["stem_conv"]["kernel"],
+        sp["encoder"]["stem_conv"]["kernel"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        mp["decoder"]["up5"]["conv2"]["conv"]["kernel"],
+        sp["decoder"]["up5"]["conv2"]["conv"]["kernel"], rtol=1e-4, atol=1e-6)
