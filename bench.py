@@ -5,6 +5,12 @@ Runs the full jitted training step (on-device augmentation + preprocessing
 — the BASELINE.json metric ("images/sec/chip training (Unet-resnet34
 512²)").
 
+``BENCH_MODE=pipeline`` measures the END-TO-END system instead: real PNG
+files on disk → native C++ thread-pool decode → background Prefetcher →
+device step (SURVEY §3.5 — the reference's bottleneck is the host loop;
+this proves ours isn't).  The default mode stays device-step-only so the
+headline metric is comparable across rounds.
+
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md).  The
 documented proxy is BASELINE.json's target of >=3x a Keras-GPU baseline;
 we anchor on 25 images/sec/GPU — a typical Keras/TF1-era Unet-resnet34
@@ -76,6 +82,52 @@ def main():
     batch = {"image": images, "mask": masks}
     lr = jnp.asarray(1e-3, jnp.float32)
     key = _jax.random.PRNGKey(0)
+
+    if os.environ.get("BENCH_MODE", "device") == "pipeline":
+        # end-to-end: PNGs on disk -> native loader -> Prefetcher -> device
+        import tempfile
+
+        from segmentation_training_pipeline_tpu.data.batcher import (
+            Prefetcher, make_batches)
+        from segmentation_training_pipeline_tpu.data.datasets import (
+            DirectoryDataSet)
+        from segmentation_training_pipeline_tpu.data.synthetic import (
+            write_shapes_dataset)
+
+        n_files = int(os.environ.get("BENCH_FILES", str(BATCH * (STEPS + 1))))
+        root = os.environ.get("BENCH_DATA_DIR") or tempfile.mkdtemp(
+            prefix="stp_bench_")
+        if not os.path.exists(os.path.join(root, "images")):
+            write_shapes_dataset(root, n_files, size=H, seed=7)
+        ds = DirectoryDataSet(os.path.join(root, "images"),
+                              os.path.join(root, "masks"))
+        idx = np.arange(len(ds))
+
+        def gen():
+            return make_batches(ds, idx, (H, W, 3), 1, "sigmoid", BATCH,
+                                wrap_pad=False)
+
+        # warmup epoch compiles + fills the page cache
+        for b in Prefetcher(gen, depth=4):
+            state, logs = step(state, b, lr, key)
+        float(_jax.device_get(logs["loss"]))
+        t0 = time.perf_counter()
+        n_imgs = 0
+        for b in Prefetcher(gen, depth=4):
+            state, logs = step(state, b, lr, key)
+            n_imgs += int(b["image"].shape[0])
+        final_loss = float(_jax.device_get(logs["loss"]))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(final_loss)
+        n_chips = len(_jax.devices())
+        ips = n_imgs / dt / max(1, n_chips)
+        print(json.dumps({
+            "metric": "e2e_pipeline_images_per_sec_per_chip_unet_resnet34_512",
+            "value": round(ips, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(ips / 75.0, 3),
+        }))
+        return
 
     for _ in range(WARMUP):
         state, logs = step(state, batch, lr, key)
