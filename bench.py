@@ -102,10 +102,12 @@ def main():
         ds = DirectoryDataSet(os.path.join(root, "images"),
                               os.path.join(root, "masks"))
         idx = np.arange(len(ds))
+        # BENCH_CACHE=1 -> RAM-cached epochs (the `cache: true` YAML path)
+        cache = {} if os.environ.get("BENCH_CACHE", "0") != "0" else None
 
         def gen():
             return make_batches(ds, idx, (H, W, 3), 1, "sigmoid", BATCH,
-                                wrap_pad=False)
+                                wrap_pad=False, cache=cache)
 
         # warmup epoch compiles + fills the page cache
         for b in Prefetcher(gen, depth=4):

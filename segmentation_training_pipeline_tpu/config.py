@@ -62,6 +62,7 @@ _TOP_LEVEL_KEYS = {
     "directory", "experiment_name", "verbose",
     # TPU-native extensions (not in the reference schema)
     "dtype", "mesh", "prefetch", "remat", "donate", "profile", "debug",
+    "cache",
 }
 
 _STAGE_KEYS = {
@@ -318,6 +319,7 @@ class PipelineConfig:
     donate: bool = True
     profile: Any = False  # False | True | trace-dir path
     debug: bool = False  # jax_debug_nans on the training programs
+    cache: bool = False  # RAM-cache decoded items (epochs >1 skip decode)
 
     # ------------------------------------------------------------------
     # construction
@@ -460,6 +462,7 @@ class PipelineConfig:
             donate=bool(d.get("donate", True)),
             profile=d.get("profile", False),
             debug=bool(d.get("debug", False)),
+            cache=bool(d.get("cache", False)),
         )
         return cfg
 

@@ -88,23 +88,27 @@ def prepare_mask(y: Optional[np.ndarray], shape, classes: int,
     return (y > (127 if y.max() > 1.5 else 0.5)).astype(np.float32)
 
 
-def _masks_u8_to_float(masks_u8: np.ndarray, classes: int,
-                       activation: str) -> np.ndarray:
-    """(B, H, W) u8 decoded masks → (B, H, W, classes) float32, matching
+def _masks_u8_to_onehot(masks_u8: np.ndarray, classes: int,
+                        activation: str) -> np.ndarray:
+    """(B, H, W) u8 decoded masks → (B, H, W, classes) uint8 {0,1}, matching
     prepare_mask's binary/{0,255}/class-index semantics (vectorized,
-    PER-ITEM thresholds — a batch may mix {0,1} and {0,255} masks)."""
+    PER-ITEM thresholds — a batch may mix {0,1} and {0,255} masks).
+
+    uint8 on purpose: one-hot masks are {0,1}-valued, and the training step
+    casts to float ON DEVICE — shipping f32 masks quadruples the host→device
+    wire for nothing (PERF.md round 2)."""
     per_max = masks_u8.reshape(masks_u8.shape[0], -1).max(axis=1)
     if activation == "softmax" and classes > 1:
         idx = masks_u8.astype(np.int64)
         is_255 = (per_max > classes - 1) & (per_max > 1)
         idx = np.where(is_255[:, None, None],
                        (masks_u8 > 127).astype(np.int64), idx)
-        out = np.zeros((*masks_u8.shape, classes), np.float32)
-        np.put_along_axis(out, idx[..., None], 1.0, axis=-1)
+        out = np.zeros((*masks_u8.shape, classes), np.uint8)
+        np.put_along_axis(out, idx[..., None], 1, axis=-1)
         return out
     m = np.where((per_max > 1.5)[:, None, None],
                  masks_u8 > 127, masks_u8 > 0)
-    m = m[..., None].astype(np.float32)
+    m = m[..., None].astype(np.uint8)
     return np.repeat(m, classes, axis=-1) if classes > 1 else m
 
 
@@ -137,14 +141,23 @@ def _native_loader():
 
 def make_batches(dataset: DataSet, indices: Sequence[int], shape, classes: int,
                  activation: str, batch_size: int,
-                 wrap_pad: bool = True) -> Iterator[Dict[str, np.ndarray]]:
-    """Yield batches of stacked uint8 images + float32 masks.
+                 wrap_pad: bool = True,
+                 cache: Optional[dict] = None) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield batches of stacked uint8 images + uint8 one-hot masks
+    (the training/eval steps cast masks to float32 ON DEVICE; shipping f32
+    quadruples the host->device wire).
 
     File-backed datasets (exposing ``image_path``/``mask_path``) decode
     through the native C++ thread-pool loader; anything else goes through
     the per-item Python path.  The final partial batch wraps around to the
     plan's start (deterministic) and reports weights so eval can discount
     the padding.
+
+    ``cache`` (``cache: true`` in YAML): per-index dict of decoded
+    ``(img_u8, mask_u8)`` items.  Image decode is the host bottleneck at
+    512² (PNG inflate ~60 img/s vs ~290 img/s device step, PERF.md) — the
+    cache makes every epoch after the first run at RAM speed.  ~1 MB/item
+    at 512² binary; only enable when the dataset fits host memory.
     """
     idx = np.asarray(indices, dtype=np.int64)
     n = len(idx)
@@ -160,7 +173,10 @@ def make_batches(dataset: DataSet, indices: Sequence[int], shape, classes: int,
         if n_real < batch_size and wrap_pad:
             extra = idx[np.arange(batch_size - n_real) % n]
             sel = np.concatenate([sel, extra])
-        if use_native:
+        if cache is not None and all(int(i) in cache for i in sel):
+            imgs_arr = np.stack([cache[int(i)][0] for i in sel])
+            masks_arr = np.stack([cache[int(i)][1] for i in sel])
+        elif use_native:
             loader = _native_loader()
             ipaths = [dataset.image_path(int(i)) for i in sel]  # type: ignore[attr-defined]
             mpaths = [dataset.mask_path(int(i)) for i in sel]  # type: ignore[attr-defined]
@@ -169,15 +185,21 @@ def make_batches(dataset: DataSet, indices: Sequence[int], shape, classes: int,
                 raise IOError(
                     f"native loader failed on {fails} of {len(sel)} files "
                     f"(first: {ipaths[0]})")
-            masks_arr = _masks_u8_to_float(masks_u8, classes, activation)
+            masks_arr = _masks_u8_to_onehot(masks_u8, classes, activation)
         else:
             imgs, masks = [], []
             for i in sel:
                 item = dataset[int(i)]
                 imgs.append(prepare_image(item.x, shape))
-                masks.append(prepare_mask(item.y, shape, classes, activation))
+                masks.append(prepare_mask(item.y, shape, classes,
+                                          activation).astype(np.uint8))
             imgs_arr = np.stack(imgs)
             masks_arr = np.stack(masks)
+        if cache is not None:
+            for j in range(len(sel)):
+                ii = int(sel[j])
+                if ii not in cache:
+                    cache[ii] = (imgs_arr[j], masks_arr[j])
         yield {
             "image": imgs_arr,
             "mask": masks_arr,

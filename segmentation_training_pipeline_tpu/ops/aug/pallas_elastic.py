@@ -147,17 +147,106 @@ def elastic_resample_tpu(planes: Array, dy: Array, dx: Array, k: int,
     )(dy, dx, padded)
 
 
+def _elastic_joint_kernel(flags_ref, dy_ref, dx_ref, img_ref, out_ref, *,
+                          k: int, h: int, w: int, t: int, fill: float):
+    """One (batch, channel, row-tile) block; per-channel nearest flag.
+
+    Nearest sampling IS bilinear with the fractional offsets rounded to
+    {0, 1} (floor(d)+round(frac) == floor(d+0.5)), so the flag costs two
+    scalar-selected rounds outside the sweeps — the O(K) loop bodies are
+    identical for image and mask channels, and ONE kernel launch covers
+    both (image kinds: bilinear; mask kinds: exact nearest)."""
+    is_near = flags_ref[pl.program_id(1)] != 0
+    base = pl.program_id(2) * t
+    dy_raw = dy_ref[0]
+    dx_raw = dx_ref[0]
+
+    yy = (jax.lax.broadcasted_iota(jnp.int32, (t, w), 0)
+          .astype(jnp.float32) + base)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1).astype(jnp.float32)
+    dy = jnp.clip(yy + dy_raw, 0.0, h - 1.0) - yy
+    dx = jnp.clip(xx + dx_raw, 0.0, w - 1.0) - xx
+
+    iy = jnp.floor(dy)
+    fy = dy - iy
+    fy = jnp.where(is_near, jnp.round(fy), fy)
+    ix = jnp.floor(dx)
+    fx = dx - ix
+    fx = jnp.where(is_near, jnp.round(fx), fx)
+
+    band = img_ref[0, 0, pl.ds(base, t + 2 * k + 1), :]
+    row = jnp.zeros((t, w), jnp.float32)
+    for s in range(-k, k + 1):
+        cand = band[k + s: k + s + t, :]
+        nxt = band[k + s + 1: k + s + 1 + t, :]
+        row = jnp.where(iy == s, (1.0 - fy) * cand + fy * nxt, row)
+
+    cur = pltpu.roll(row, k % w, 1)
+    out = jnp.zeros((t, w), jnp.float32)
+    for s in range(-k, k + 1):
+        nxt = pltpu.roll(cur, w - 1, 1)
+        out = jnp.where(ix == s, (1.0 - fx) * cur + fx * nxt, out)
+        cur = nxt
+
+    sy = yy + dy_raw
+    sx = xx + dx_raw
+    oob = (sy < -0.5) | (sy > h - 0.5) | (sx < -0.5) | (sx > w - 0.5)
+    out_ref[0, 0] = jnp.where(oob, fill, out)
+
+
+def elastic_resample_joint_tpu(planes: Array, flags: Array, dy: Array,
+                               dx: Array, k: int, fill: float,
+                               row_tile: int = 128,
+                               interpret: bool = False) -> Array:
+    """planes (B, C, H, W) f32, flags (C,) int32 (1 = nearest channel),
+    dy/dx (B, H, W) f32 with |d| ≤ k → (B, C, H, W)."""
+    b, c, h, w = planes.shape
+    t = min(row_tile, h)
+    while t >= 8 and (h % t or t % 8):
+        t -= 1
+    if t < 8:
+        t = h
+    padded = jnp.pad(planes, ((0, 0), (0, 0), (k, k + 1), (0, 0)),
+                     constant_values=fill)
+    kern = functools.partial(_elastic_joint_kernel, k=k, h=h, w=w, t=t,
+                             fill=fill)
+    # index maps under scalar prefetch receive the scalar ref as an extra
+    # trailing argument
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, c, h // t),
+        in_specs=[
+            pl.BlockSpec((1, t, w), lambda i, j, r, _fl: (i, r, 0)),
+            pl.BlockSpec((1, t, w), lambda i, j, r, _fl: (i, r, 0)),
+            pl.BlockSpec((1, 1, h + 2 * k + 1, w),
+                         lambda i, j, r, _fl: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, t, w),
+                               lambda i, j, r, _fl: (i, j, r, 0)),
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+        interpret=interpret,
+    )(flags.astype(jnp.int32), dy, dx, padded)
+
+
 def warp_elastic_joint(images: Array, masks: Array, dy: Array, dx: Array,
                        k: int, fill: float = 0.0,
                        interpret: bool = False):
     """Elastic-only joint warp: images bilinear, masks nearest — the
     displacement-field half of warp.warp_joint with the affine already
-    applied (see lowering.py's split)."""
-    img_p = images.astype(jnp.float32).transpose(0, 3, 1, 2)
-    msk_p = masks.astype(jnp.float32).transpose(0, 3, 1, 2)
-    oi = elastic_resample_tpu(img_p, dy, dx, k, fill, nearest=False,
-                              interpret=interpret)
-    om = elastic_resample_tpu(msk_p, dy, dx, k, fill, nearest=True,
-                              interpret=interpret)
-    return (oi.transpose(0, 2, 3, 1),
-            om.transpose(0, 2, 3, 1).astype(masks.dtype))
+    applied (see lowering.py's split).  Image and mask channels ride ONE
+    kernel launch (per-channel kind flags) so the displacement tiles are
+    DMA'd once."""
+    ci = images.shape[-1]
+    planes = jnp.concatenate(
+        [images.astype(jnp.float32), masks.astype(jnp.float32)],
+        axis=-1).transpose(0, 3, 1, 2)
+    flags = jnp.concatenate([
+        jnp.zeros((ci,), jnp.int32),
+        jnp.ones((masks.shape[-1],), jnp.int32)])
+    out = elastic_resample_joint_tpu(planes, flags, dy, dx, k, fill,
+                                     interpret=interpret)
+    out = out.transpose(0, 2, 3, 1)
+    return out[..., :ci], out[..., ci:].astype(masks.dtype)

@@ -141,6 +141,9 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
     train_ds = kfold.dataset
     if cfg.crops:
         train_ds = CropAndSplitDataSet(kfold.dataset, cfg.crops)
+    # cache: true — decoded-item RAM cache shared across folds/stages/epochs
+    # (host image decode is the pipeline bound at 512², PERF.md)
+    item_cache = {} if cfg.cache else None
 
     folds = list(foldsToExecute) if foldsToExecute is not None \
         else list(range(cfg.folds_count))
@@ -273,7 +276,7 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                     plan = plan[: stage.steps_per_epoch * batch]
                 gen = lambda: make_batches(  # noqa: E731
                     train_ds, plan, cfg.shape, cfg.classes,
-                    cfg.activation, batch)
+                    cfg.activation, batch, cache=item_cache)
                 train_logs = []
                 for b in Prefetcher(gen, mesh=stage_mesh, depth=cfg.prefetch):
                     for c in cbs:
@@ -285,7 +288,7 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
 
                 vgen = lambda: make_batches(  # noqa: E731
                     train_ds, val_idx, cfg.shape, cfg.classes,
-                    cfg.activation, batch)
+                    cfg.activation, batch, cache=item_cache)
                 val_logs = []
                 for b in Prefetcher(vgen, mesh=stage_mesh, depth=cfg.prefetch):
                     val_logs.append(jax.device_get(eval_step(state, b)))

@@ -137,3 +137,31 @@ def test_crops_training_e2e(tmp_path):
     inter = (pred & truth).sum()
     union = (pred | truth).sum()
     assert inter / max(union, 1) > 0.5, f"stitched IoU too low: {inter/max(union,1):.3f}"
+
+
+def test_make_batches_ram_cache():
+    """cache: true — second epoch serves identical pixels without touching
+    the dataset again (host decode is the pipeline bound, PERF.md)."""
+    calls = {"n": 0}
+
+    class Counting(LambdaDataSet):
+        def __getitem__(self, idx):
+            calls["n"] += 1
+            return super().__getitem__(idx)
+
+    r = np.random.RandomState(0)
+    ds = Counting([r.randint(0, 255, (16, 16, 3)).astype(np.uint8)
+                   for _ in range(6)],
+                  [(r.rand(16, 16) > 0.5).astype(np.uint8) for _ in range(6)])
+    cache = {}
+    idx = np.arange(6)
+    first = list(make_batches(ds, idx, (16, 16, 3), 1, "sigmoid", 3,
+                              cache=cache))
+    n_after_first = calls["n"]
+    assert n_after_first == 6 and len(cache) == 6
+    second = list(make_batches(ds, idx, (16, 16, 3), 1, "sigmoid", 3,
+                               cache=cache))
+    assert calls["n"] == n_after_first  # no re-decode
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])
