@@ -318,7 +318,8 @@ class PipelineConfig:
     remat: bool = False
     donate: bool = True
     profile: Any = False  # False | True | trace-dir path
-    debug: bool = False  # jax_debug_nans on the training programs
+    # False | True (jax_debug_nans) | "checks" (+checkify float/index)
+    debug: Any = False
     cache: bool = False  # RAM-cache decoded items (epochs >1 skip decode)
 
     # ------------------------------------------------------------------
@@ -461,7 +462,8 @@ class PipelineConfig:
             remat=bool(d.get("remat", False)),
             donate=bool(d.get("donate", True)),
             profile=d.get("profile", False),
-            debug=bool(d.get("debug", False)),
+            debug=("checks" if str(d.get("debug", "")).lower() == "checks"
+                   else bool(d.get("debug", False))),
             cache=bool(d.get("cache", False)),
         )
         return cfg

@@ -213,7 +213,12 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
             tx = build_optimizer(cfg, freeze_encoder=frozen)
             train_step = build_train_step(
                 model, tx, loss_fn, metric_fns, cfg.activation,
-                cfg.preprocessing, aug_fn=aug_fn, donate=cfg.donate)
+                cfg.preprocessing, aug_fn=aug_fn,
+                donate=cfg.donate and not cfg.debug,
+                # debug: true -> cheap jax_debug_nans (fit_pipeline scope);
+                # debug: checks -> full checkify float/index instrumentation
+                # (expensive compile, deepest sanitizer level)
+                debug_checks=(cfg.debug == "checks"))
             eval_step = build_eval_step(
                 model, loss_fn, metric_fns, cfg.activation, cfg.preprocessing,
                 transform_fn=transform_fn)

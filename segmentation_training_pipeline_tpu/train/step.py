@@ -55,8 +55,16 @@ def _per_example(fn):
 def build_train_step(model, tx, loss_fn, metric_fns: Dict[str, Callable],
                      activation: str, preprocessing: Optional[str],
                      aug_fn: Optional[Callable] = None,
-                     donate: bool = True):
-    """→ train_step(state, batch, lr, rng) -> (state, logs)."""
+                     donate: bool = True,
+                     debug_checks: bool = False):
+    """→ train_step(state, batch, lr, rng) -> (state, logs).
+
+    ``debug_checks`` (YAML ``debug: true``) instruments the whole program
+    with ``checkify`` float + index checks (SURVEY §5 sanitizers): the
+    first NaN/Inf or out-of-bounds index raises host-side with the
+    offending primitive's location.  Costs a device sync per step — debug
+    only.
+    """
 
     # per-example loss so the final wrap-padded batch's duplicate rows get
     # weight 0 (no double gradient, no biased logs).  Every bundled loss is
@@ -104,6 +112,19 @@ def build_train_step(model, tx, loss_fn, metric_fns: Dict[str, Callable],
             step=state.step + 1,
         )
         return new_state, logs
+
+    if debug_checks:
+        from jax.experimental import checkify
+
+        checked = jax.jit(checkify.checkify(
+            _step, errors=checkify.float_checks | checkify.index_checks))
+
+        def step_with_checks(state, batch, lr, rng):
+            err, out = checked(state, batch, lr, rng)
+            checkify.check_error(err)  # raises with the failing primitive
+            return out
+
+        return step_with_checks
 
     return jax.jit(_step, donate_argnums=(0,) if donate else ())
 

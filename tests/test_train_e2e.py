@@ -133,3 +133,44 @@ class TestCallbacksIntegration:
         cfg.fit(_CircleDS(), foldsToExecute=[0], verbose=0)
         rows = open(cfg.metrics_path(0, 0)).read().strip().split("\n")
         assert len(rows) - 1 <= 3  # stopped well before 6 epochs
+
+
+def test_debug_checkify_catches_nonfinite(tmp_path):
+    """debug: true instruments the train program with checkify float
+    checks: a NaN planted in the params raises host-side with the failing
+    primitive instead of silently corrupting training (SURVEY §5).
+    Uses a tiny conv model — checkify of a full resnet is minutes of
+    compile on a 1-core host, and the wiring is model-agnostic."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from flax import linen as nn
+
+    from segmentation_training_pipeline_tpu.train.step import (
+        build_train_step, create_train_state)
+
+    class Tiny(nn.Module):
+        dtype = jnp.float32
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(1, (3, 3), padding="SAME", name="head",
+                           dtype=jnp.float32)(x)
+
+    model = Tiny()
+    variables = {"params": model.init(jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 8, 8, 3)))["params"]}
+    variables["params"]["head"]["kernel"] = (
+        variables["params"]["head"]["kernel"].at[0, 0, 0, 0].set(jnp.nan))
+    loss_fn = lambda y, lg: jnp.mean((y - lg) ** 2)  # noqa: E731
+    tx = optax.sgd(1.0)
+    step = build_train_step(model, tx, loss_fn, {}, "sigmoid", "tf",
+                            donate=False, debug_checks=True)
+    state = create_train_state(model, variables, tx)
+    r = np.random.RandomState(0)
+    batch = {"image": r.randint(0, 255, (2, 8, 8, 3), dtype=np.uint8),
+             "mask": (r.rand(2, 8, 8, 1) > 0.5).astype(np.uint8)}
+    with pytest.raises(Exception, match="nan|inf|NaN|Inf"):
+        step(state, batch, jnp.asarray(1e-3, jnp.float32),
+             jax.random.PRNGKey(0))
