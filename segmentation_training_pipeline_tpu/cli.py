@@ -69,6 +69,11 @@ def _enable_compilation_cache():
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
     _enable_compilation_cache()
+    # multi-host launch (STP_DISTRIBUTED=1 / JAX_COORDINATOR_ADDRESS set):
+    # must run before any jax device use so jax.devices() is global
+    from .parallel.distributed import maybe_initialize
+
+    maybe_initialize()
     from . import parse
     from .data.datasets import DirectoryDataSet
 

@@ -2,7 +2,8 @@
 
 The reference is single-process single-GPU (SURVEY.md §2d) — there is no
 comm layer to port.  This module is the rebuild's scaling story, designed
-for ICI-connected TPU slices:
+for ICI-connected TPU slices and (optionally) DCN-connected multi-host
+fleets:
 
   * mesh axes: ``data`` (batch/data-parallel) × ``space`` (spatial
     partitioning of H for large images — the reference's ``crops:`` analog
@@ -11,6 +12,12 @@ for ICI-connected TPU slices:
     ``P('data', 'space')`` on (N, H).  Gradient reduction and cross-chip
     BatchNorm stats become XLA-inserted ``psum``s over ICI (GSPMD), i.e.
     sync-BN falls out for free rather than being a hand-written NCCL call.
+  * Multi-host: ``mesh: {hosts: H}`` (or automatically when
+    ``jax.process_count() > 1``) places a DCN factor OUTERMOST on the
+    ``data`` axis via ``mesh_utils.create_hybrid_device_mesh``.  The step
+    function is unchanged — "hosts" is not a separate axis, it is the
+    slow-varying end of ``data``, so XLA's hierarchical collectives do
+    ICI-reduce-scatter → DCN-allreduce → ICI-all-gather automatically.
   * A 1-device mesh degenerates to plain jit with zero overhead, which is
     how the single-chip bench path runs.
 """
@@ -29,12 +36,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 class MeshSpec:
     data: int = -1   # -1 = all remaining devices
     space: int = 1
+    hosts: int = 0   # DCN factor on the data axis; 0 = jax.process_count()
 
     @staticmethod
     def from_config(mesh_cfg: Dict[str, int]) -> "MeshSpec":
         return MeshSpec(
             data=int(mesh_cfg.get("data", -1)),
             space=int(mesh_cfg.get("space", 1)),
+            hosts=int(mesh_cfg.get("hosts", 0)),
         )
 
 
@@ -43,12 +52,35 @@ def build_mesh(spec: Optional[MeshSpec] = None, devices=None) -> Mesh:
     n = len(devices)
     spec = spec or MeshSpec()
     space = max(1, spec.space)
+    hosts = spec.hosts if spec.hosts and spec.hosts > 0 else max(
+        1, jax.process_count())
     data = spec.data if spec.data and spec.data > 0 else n // space
     if data * space != n:
         raise ValueError(
             f"mesh {data}x{space} (data x space) does not cover {n} devices"
         )
-    arr = np.asarray(devices).reshape(data, space)
+    if data % hosts:
+        raise ValueError(
+            f"mesh data axis ({data}) is not divisible by the DCN/hosts "
+            f"factor ({hosts})")
+
+    if jax.process_count() > 1:
+        # real multi-process run: hybrid ICI×DCN layout so the outer part
+        # of the data axis crosses hosts and the inner part + space stay
+        # on ICI within each host
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(data // hosts, space),
+            dcn_mesh_shape=(hosts, 1),
+            devices=devices,
+        )
+    else:
+        # single process (incl. the virtual-CPU test mesh): a plain
+        # reshape gives the same (data, space) logical layout; an explicit
+        # hosts factor is honored as the outer blocking of `data` so
+        # multi-host configs stay testable without processes
+        arr = np.asarray(devices).reshape(data, space)
     return Mesh(arr, axis_names=("data", "space"))
 
 
@@ -62,13 +94,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Host numpy batch dict → device arrays laid out on the mesh."""
+    """Host numpy batch dict → device arrays laid out on the mesh.
+
+    Single-process: a plain sharded ``device_put``.  Multi-process: every
+    host assembles the same GLOBAL batch (the index plans are
+    deterministic, so they agree), and each process ships only its own
+    row-block via ``jax.make_array_from_process_local_data`` — no
+    cross-host traffic on the input path; masks/images ride DCN never.
+    """
     sh = batch_sharding(mesh)
     rep = replicated(mesh)
+    nproc = jax.process_count()
 
     def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 2:
+        if not (hasattr(x, "ndim") and x.ndim >= 2):
+            return jax.device_put(x, rep)
+        if nproc == 1:
             return jax.device_put(x, sh)
-        return jax.device_put(x, rep)
+        n = x.shape[0]
+        if n % nproc:
+            raise ValueError(
+                f"global batch {n} is not divisible by process count {nproc}")
+        per = n // nproc
+        # contiguity invariant: build_mesh puts the DCN factor outermost on
+        # the data axis with granules sorted by process index, so process p
+        # owns exactly global rows [p*per, (p+1)*per) — the slice below and
+        # make_array_from_process_local_data's inferred layout agree
+        local = x[jax.process_index() * per:(jax.process_index() + 1) * per]
+        return jax.make_array_from_process_local_data(sh, np.asarray(local))
 
     return jax.tree.map(put, batch)

@@ -33,6 +33,7 @@ from ..data.datasets import (CropAndSplitDataSet, KFoldedDataSet,
                              expand_tile_indices)
 from ..models.factory import init_model, model_from_config, template_variables
 from ..ops.losses import build_loss
+from ..parallel import distributed as dist
 from ..parallel.mesh import MeshSpec, build_mesh, replicated
 from . import callbacks as cb
 from .checkpoint import checkpoint_meta, load_checkpoint, save_checkpoint
@@ -234,8 +235,10 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
             # a checkpoint without a done-marker means this stage crashed
             # mid-run — append to its metrics history instead of truncating
             resuming = meta is not None and not meta.get("done")
-            csv = cb.CSVLogger(cfg.metrics_path(fold, si), append=resuming)
-            cbs.append(csv)
+            if dist.is_primary():  # multi-host: one writer per shared FS
+                csv = cb.CSVLogger(cfg.metrics_path(fold, si),
+                                   append=resuming)
+                cbs.append(csv)
             for c in cbs:
                 c.on_train_begin(control)
             tracker = _BestTracker(monitor, mode)
@@ -321,14 +324,17 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                 if tracker.update(epoch_logs):
                     variables = {"params": state.params,
                                  "batch_stats": state.batch_stats}
-                    save_checkpoint(ckpt_path, variables,
-                                    meta={"fold": fold, "stage": si,
-                                          "monitor": monitor,
-                                          "best": tracker.best,
-                                          "epoch": epoch,
-                                          "architecture": cfg.architecture,
-                                          "backbone": cfg.backbone,
-                                          "done": False})
+                    # multi-host: replicated state is identical everywhere;
+                    # only the primary touches the (shared) filesystem
+                    if dist.is_primary():
+                        save_checkpoint(ckpt_path, variables,
+                                        meta={"fold": fold, "stage": si,
+                                              "monitor": monitor,
+                                              "best": tracker.best,
+                                              "epoch": epoch,
+                                              "architecture": cfg.architecture,
+                                              "backbone": cfg.backbone,
+                                              "done": False})
                 for c in cbs:
                     c.on_epoch_end(epoch, epoch_logs, control)
                 if verbose:
@@ -340,7 +346,12 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
             for c in cbs:
                 c.on_train_end(control)
 
-            # restore best weights for the next stage (reference behavior)
+            # restore best weights for the next stage (reference behavior);
+            # multi-host: wait for the primary's writes before anyone reads
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices(f"stage-save-{key}")
             if os.path.exists(ckpt_path):
                 variables = load_checkpoint(ckpt_path,
                                             jax.device_get(
@@ -349,15 +360,18 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                 m = checkpoint_meta(ckpt_path) or {}
                 m["done"] = True
                 m["epochs_run"] = epochs_run
-                save_checkpoint(ckpt_path, variables, meta=m)
+                if dist.is_primary():
+                    save_checkpoint(ckpt_path, variables, meta=m)
             else:
                 # no improvement ever recorded — persist the final weights
                 variables = {"params": state.params,
                              "batch_stats": state.batch_stats}
-                save_checkpoint(ckpt_path, variables,
-                                meta={"fold": fold, "stage": si,
-                                      "monitor": monitor, "best": None,
-                                      "done": True, "epochs_run": epochs_run})
+                if dist.is_primary():
+                    save_checkpoint(ckpt_path, variables,
+                                    meta={"fold": fold, "stage": si,
+                                          "monitor": monitor, "best": None,
+                                          "done": True,
+                                          "epochs_run": epochs_run})
             variables = jax.device_put(jax.device_get(variables),
                                        replicated(mesh))
             results[key] = {"best": tracker.best, "epochs": epochs_run,

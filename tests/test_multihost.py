@@ -1,0 +1,99 @@
+"""Multi-host (DCN) layout tests on the virtual 8-CPU mesh.
+
+Real multi-process DCN execution needs N processes (out of scope for unit
+tests); what IS testable single-process:
+  * ``mesh: {hosts: H}`` parses, validates divisibility, and yields the
+    same (data, space) logical mesh — the hosts factor is the outer
+    blocking of the data axis, not a new axis, so the step function and
+    all shardings are unchanged;
+  * a hosts-annotated mesh computes the exact same training math;
+  * the distributed bootstrap is a no-op single-process and ``is_primary``
+    is True (so checkpoint/CSV gating never changes single-host behavior).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from segmentation_training_pipeline_tpu.parallel import distributed as dist
+from segmentation_training_pipeline_tpu.parallel.mesh import (
+    MeshSpec,
+    batch_sharding,
+    build_mesh,
+    replicated,
+    shard_batch,
+)
+
+
+def test_meshspec_hosts_from_config():
+    spec = MeshSpec.from_config({"hosts": 2, "data": 4, "space": 2})
+    assert spec.hosts == 2 and spec.data == 4 and spec.space == 2
+
+
+def test_hosts_mesh_same_logical_layout():
+    m_plain = build_mesh(MeshSpec(data=4, space=2))
+    m_hosts = build_mesh(MeshSpec(data=4, space=2, hosts=2))
+    assert m_hosts.devices.shape == m_plain.devices.shape == (4, 2)
+    assert m_hosts.axis_names == ("data", "space")
+
+
+def test_hosts_must_divide_data():
+    with pytest.raises(ValueError, match="divisible by the DCN/hosts"):
+        build_mesh(MeshSpec(data=4, space=2, hosts=3))
+
+
+def test_hosts_mesh_exact_math():
+    """A hosts-annotated mesh runs the identical jitted program — loss on
+    {hosts:2, data:4, space:2} equals the plain {data:4, space:2} run."""
+    from segmentation_training_pipeline_tpu.config import parse_dict
+    from segmentation_training_pipeline_tpu.models.factory import (
+        create_model, init_model)
+    from segmentation_training_pipeline_tpu.ops.losses import build_loss
+    from segmentation_training_pipeline_tpu.train.optimizers import (
+        build_optimizer)
+    from segmentation_training_pipeline_tpu.train.step import (
+        build_train_step, create_train_state)
+
+    cfg = parse_dict(dict(
+        architecture="Unet", backbone="resnet18", shape=[32, 32, 3],
+        classes=1, activation="sigmoid", loss="binary_crossentropy",
+        optimizer="SGD", lr=1e-3, dtype="float32"))
+    model = create_model("Unet", "resnet18", classes=1, dtype="float32")
+    variables = init_model(model, (32, 32, 3), seed=0)
+    tx = build_optimizer(cfg)
+    step = build_train_step(model, tx, build_loss(cfg.loss, "sigmoid"), {},
+                            "sigmoid", "tf", aug_fn=None, donate=False)
+    state = create_train_state(model, variables, tx)
+    r = np.random.RandomState(0)
+    batch = {
+        "image": r.randint(0, 255, (8, 32, 32, 3), dtype=np.uint8),
+        "mask": (r.rand(8, 32, 32, 1) > 0.5).astype(np.float32),
+    }
+    lr = jnp.asarray(1e-3, jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    losses = []
+    for hosts in (1, 2):
+        mesh = build_mesh(MeshSpec(data=4, space=2, hosts=hosts))
+        dstate = jax.device_put(state, replicated(mesh))
+        dbatch = shard_batch(batch, mesh)
+        _, logs = step(dstate, dbatch, lr, key)
+        losses.append(float(jax.device_get(logs["loss"])))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+
+def test_shard_batch_scalars_replicated():
+    mesh = build_mesh(MeshSpec(data=8, space=1))
+    out = shard_batch({"image": np.zeros((8, 4, 4, 3), np.uint8),
+                       "weight": np.ones((8,), np.float32)}, mesh)
+    assert out["image"].sharding == batch_sharding(mesh)
+    # 1-D arrays are replicated (per-example weights ride the batch dict)
+    assert out["weight"].sharding.is_fully_replicated
+
+
+def test_single_process_bootstrap_noop():
+    assert dist.maybe_initialize(force=False) is False
+    assert dist.process_count() == 1
+    assert dist.is_primary() is True

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 from segmentation_training_pipeline_tpu.ops.aug import build_augmentation
 from segmentation_training_pipeline_tpu.ops.aug import warp as W
 from segmentation_training_pipeline_tpu.data.batcher import (
-    _masks_u8_to_float, _paths_available, make_batches)
+    _masks_u8_to_onehot, _paths_available, make_batches)
 from segmentation_training_pipeline_tpu.data.datasets import (
     LambdaDataSet, SubDataSet)
 
@@ -66,7 +66,7 @@ class TestPerItemMaskThreshold:
         m = np.zeros((2, 4, 4), np.uint8)
         m[0, :2] = 1      # {0,1} convention
         m[1, :2] = 255    # {0,255} convention
-        out = _masks_u8_to_float(m, 1, "sigmoid")
+        out = _masks_u8_to_onehot(m, 1, "sigmoid")
         assert out[0].sum() == 8.0  # the {0,1} mask must stay positive
         assert out[1].sum() == 8.0
 
