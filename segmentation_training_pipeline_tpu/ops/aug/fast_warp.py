@@ -289,10 +289,13 @@ def _scale_pass(img: Array, mask: Array, e1: Array, tx: Array,
         e1, tx + float(pad_in_x), w, w_in, w_in, 0, 0, dt)
 
     def apply(x, ry, rx):
+        # HIGHEST: default TPU matmul truncates to bf16 (~1% pixel error)
         y = jnp.einsum("bij,bjwc->biwc", ry, x,
-                       preferred_element_type=jnp.float32).astype(dt)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST).astype(dt)
         return jnp.einsum("bij,bhjc->bhic", rx, y,
-                          preferred_element_type=jnp.float32).astype(dt)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST).astype(dt)
 
     img_out = apply(img, ry_b, rx_b)
     mask_out = apply(mask.astype(dt), ry_n, rx_n)
@@ -309,7 +312,9 @@ def _scale_pass(img: Array, mask: Array, e1: Array, tx: Array,
 
 def warp_joint_multipass(images: Array, masks: Array, mats: Array,
                          fill: float = 0.0,
-                         pad_frac: float = 0.5) -> Tuple[Array, Array]:
+                         pad_frac: float = 0.5,
+                         fused: Optional[bool] = None,
+                         interpret: bool = False) -> Tuple[Array, Array]:
     """Drop-in for warp.warp_joint(images, masks, mats, disp=None).
 
     images (B,H,W,C) float; masks (B,H,W,K); mats (B,3,3) inverse affine.
@@ -342,6 +347,16 @@ def warp_joint_multipass(images: Array, masks: Array, mats: Array,
 
     px = int(math.ceil(w * pad_frac))
     py = int(math.ceil(h * pad_frac))
+
+    use_fused = use_pallas("STP_PALLAS_WARP") if fused is None else fused
+    if use_fused:
+        # fully-fused x/y pipelines: 2 launches, zero transposes, padding
+        # and tap matrices built in VMEM (pallas_warp.py) — semantically
+        # identical to the 3 passes below (property-tested)
+        from .pallas_warp import warp_joint_fused
+
+        return warp_joint_fused(img, msk, s1, e1, e2, tx, ty, s2,
+                                px, py, fill, interpret=interpret)
 
     # pass 1: x-shear (src_x = x + s1·(y-cy)) on an x-padded canvas
     img = jnp.pad(img, ((0, 0), (0, 0), (px, px), (0, 0)),
