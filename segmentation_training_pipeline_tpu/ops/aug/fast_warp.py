@@ -345,8 +345,15 @@ def warp_joint_multipass(images: Array, masks: Array, mats: Array,
     tx = tx + s1 * cy
     ty = ty + e2 * s2 * cx
 
-    px = int(math.ceil(w * pad_frac))
-    py = int(math.ceil(h * pad_frac))
+    # pad sizes rounded up so the kernel canvases stay lane(128)/sublane(8)
+    # aligned: w + 2px ≡ 0 (mod 128) for 128-multiple widths, ≡ 0 (mod 8)
+    # otherwise (Mosaic rolls on ragged minor dims are untested territory)
+    def _round_pad(p: int, dim: int) -> int:
+        q = 64 if dim % 128 == 0 and dim >= 256 else 4
+        return max(q, ((p + q - 1) // q) * q)
+
+    px = _round_pad(int(math.ceil(w * pad_frac)), w)
+    py = _round_pad(int(math.ceil(h * pad_frac)), h)
 
     use_fused = use_pallas("STP_PALLAS_WARP") if fused is None else fused
     if use_fused:

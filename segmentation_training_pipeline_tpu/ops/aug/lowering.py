@@ -364,6 +364,50 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
 
     _mag_bound = _static_magnification()
 
+    def _static_shear_tan() -> float:
+        """Static bound on |tan| of the residual rotation+shear — the
+        multipass shears' per-line displacement is |s|·(dim/2), so this
+        sizes the canvas padding.  Scale/translate/crop/flips contribute
+        no shear (scale divides out of m01/m11); rot90s are extracted
+        before the shears.  Unparseable specs fall back to tan45 = 1
+        (the lossless-for-±45° default, pad_frac 0.5)."""
+        rot = 0.0
+        shear = 0.0
+        try:
+            for s in geo_nonelastic:
+                name = s["name"].lower()
+                a = s.get("args") or {}
+                if name == "affine":
+                    r = a.get("rotate")
+                    if r is not None:
+                        vals = r if isinstance(r, (list, tuple)) else [r]
+                        rot = max(rot, max(abs(float(v)) for v in vals))
+                    sh = a.get("shear")
+                    if sh is not None:
+                        vals = (list(sh.values()) if isinstance(sh, dict)
+                                else sh if isinstance(sh, (list, tuple))
+                                else [sh])
+                        flat = []
+                        for v in vals:
+                            flat += (list(v) if isinstance(v, (list, tuple))
+                                     else [v])
+                        shear = max(shear, max(abs(float(v)) for v in flat))
+        except (TypeError, ValueError):
+            return 1.0
+        return math.tan(math.radians(min(rot + shear, 45.0)))
+
+    _shear_tan = _static_shear_tan()
+
+    def _pad_frac(h: int, w: int) -> float:
+        """Canvas pad fraction: content excursion |s|·(dim/2) + margin.
+        Square frames only (non-square skips rot90 extraction, keep the
+        conservative default).  A Fliplr+Affine(rotate ±15°) config drops
+        the canvas from 2·dim to ~1.35·dim — the shear rolls and scale
+        dots shrink proportionally."""
+        if h != w:
+            return 0.5
+        return min(0.5, _shear_tan / 2.0 + 12.0 / max(h, 1))
+
     def run(rng: Array, images: Array, masks: Array):
         b, h, w = images.shape[0], images.shape[1], images.shape[2]
         cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
@@ -510,7 +554,8 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
             if disp is None and _multipass_ok(h == w):
                 # pure affine: gather-free multi-pass warp (rolls + MXU
                 # matmuls) — ~10x cheaper than the HBM footprint gather
-                imgs, masks = FW.warp_joint_multipass(imgs, masks, mats)
+                imgs, masks = FW.warp_joint_multipass(
+                    imgs, masks, mats, pad_frac=_pad_frac(h, w))
             elif (disp is not None and _multipass_ok(h == w)
                   and kbound <= 64 and _use_pallas_elastic()):
                 # affine via multipass, then the bounded elastic via the
@@ -519,7 +564,8 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                 # lead: fold image+mask into ONE kernel sweep with a
                 # per-channel kinds vector like pallas_shear.)
                 if geo_nonelastic:
-                    imgs, masks = FW.warp_joint_multipass(imgs, masks, mats)
+                    imgs, masks = FW.warp_joint_multipass(
+                        imgs, masks, mats, pad_frac=_pad_frac(h, w))
                     a00, a01 = mats[:, 0, 0], mats[:, 0, 1]
                     a10, a11 = mats[:, 1, 0], mats[:, 1, 1]
                     det = a00 * a11 - a01 * a10

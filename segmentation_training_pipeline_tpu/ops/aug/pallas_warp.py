@@ -47,6 +47,22 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+def _dot3(a: Array, b: Array) -> Array:
+    """~f32-accurate matmul from 3 bf16 MXU passes (hi/lo split, lo·lo
+    term dropped).  Precision.HIGHEST costs ~6 passes; the default single
+    bf16 pass loses ~1 gray level at 255 scale.  Residual error here is
+    |a_lo|·|b_lo| ≲ 2⁻¹⁶ relative (≈0.004 at 255) — invisible next to the
+    warp's bilinear quantization, at half the HIGHEST dot cost."""
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+    d += jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+    d += jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+    return d
+
+
 def _warp_x_kernel(scal_ref, kind_ref, x_ref, out_ref, canvas_ref, *,
                    h: int, w: int, px: int, fill: float):
     """x-pipeline for one (batch, channel) plane.
@@ -105,11 +121,7 @@ def _warp_x_kernel(scal_ref, kind_ref, x_ref, out_ref, canvas_ref, *,
     valid = (col >= -0.5) & (col <= wp - 0.5)
     taps = jnp.where(valid, taps, 0.0)
 
-    # HIGHEST: the default TPU matmul truncates f32 taps/pixels to bf16
-    # (~1% pixel error at 255 scale); 3-pass f32 keeps the warp exact
-    res2 = jnp.dot(canvas_ref[:, :], taps,
-                   preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)      # (h, w)
+    res2 = _dot3(canvas_ref[:, :], taps)                     # (h, w)
     if fill != 0.0:
         # invalid dst columns must read `fill`, not 0 (valid Ry rows in
         # kernel Y preserve the constant: their tap weights sum to 1).
@@ -150,9 +162,7 @@ def _warp_y_kernel(scal_ref, kind_ref, x_ref, out_ref, canvas_ref, *,
     validy = (srcy >= -0.5) & (srcy <= h - 0.5)
     taps = jnp.where(validy, taps, 0.0)
 
-    canvas = jnp.dot(taps, x_ref[0, 0],
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)    # (hp, w)
+    canvas = _dot3(taps, x_ref[0, 0])                        # (hp, w)
     if fill != 0.0:
         canvas = jnp.where(validy[:, :1], canvas, fill)
     canvas_ref[:, :] = canvas

@@ -57,8 +57,9 @@ class TestFusedMatchesUnfused:
         imgs, masks = _rand_batch(seed=seed)
         mats = _mats(3, 64, 64, seed=seed + 10)
         ri, rm, fi, fm = _run_both(imgs, masks, mats)
-        # images: identical tap math up to matmul accumulation order
-        np.testing.assert_allclose(fi, ri, atol=2e-3, rtol=0)
+        # images: identical taps; atol covers the fused path's 3-pass bf16
+        # dot residual (~1e-3 at 255 scale, see pallas_warp._dot3)
+        np.testing.assert_allclose(fi, ri, atol=5e-3, rtol=0)
         # masks: exact nearest taps — bit-identical selects
         mism = np.mean(fm != rm)
         assert mism < 2e-3, f"mask mismatch rate {mism}"
@@ -71,14 +72,14 @@ class TestFusedMatchesUnfused:
                           jnp.float32)
         mats = W.rotation_about(cx, cy, ang)
         ri, rm, fi, fm = _run_both(imgs, masks, mats)
-        np.testing.assert_allclose(fi, ri, atol=2e-3, rtol=0)
+        np.testing.assert_allclose(fi, ri, atol=5e-3, rtol=0)
         assert np.mean(fm != rm) < 2e-3
 
     def test_nonzero_fill(self):
         imgs, masks = _rand_batch(seed=7)
         mats = _mats(3, 64, 64, seed=8, trans=20.0)
         ri, rm, fi, fm = _run_both(imgs, masks, mats, fill=127.0)
-        np.testing.assert_allclose(fi, ri, atol=2e-3, rtol=0)
+        np.testing.assert_allclose(fi, ri, atol=5e-3, rtol=0)
         assert np.mean(fm != rm) < 2e-3
 
     def test_identity_is_exact(self):
@@ -87,7 +88,7 @@ class TestFusedMatchesUnfused:
         fi, fm = warp_joint_multipass(imgs, masks, mats, fused=True,
                                       interpret=True)
         np.testing.assert_allclose(np.asarray(fi), np.asarray(imgs),
-                                   atol=1e-4)
+                                   atol=5e-3)
         np.testing.assert_array_equal(np.asarray(fm), np.asarray(masks))
 
     def test_pure_translation_integer(self):
@@ -100,14 +101,31 @@ class TestFusedMatchesUnfused:
         ref = np.asarray(imgs)
         out = np.asarray(fi)
         np.testing.assert_allclose(out[0, :, 5:, :], ref[0, :, :-5, :],
-                                   atol=1e-3)
-        np.testing.assert_allclose(out[0, :, :5, :], 0.0, atol=1e-6)
+                                   atol=5e-3)
+        np.testing.assert_allclose(out[0, :, :5, :], 0.0, atol=1e-3)
         np.testing.assert_allclose(out[1, :, :-3, :], ref[1, :, 3:, :],
-                                   atol=1e-3)
+                                   atol=5e-3)
+
+    def test_tight_pad_matches_default_pad(self):
+        """Spec-derived canvas padding (lowering._pad_frac) must be
+        result-identical to the lossless 0.5 default when the shear bound
+        holds — rotate ±15° needs pad ≈ tan15/2, not 0.5."""
+        imgs, masks = _rand_batch(seed=21)
+        mats = _mats(3, 64, 64, seed=22, rot_deg=15.0, shear_deg=0.0,
+                     trans=6.0)
+        for fused in (False, True):
+            kw = dict(fused=fused, interpret=fused)
+            ri, rm = warp_joint_multipass(imgs, masks, mats, pad_frac=0.5,
+                                          **kw)
+            ti, tm = warp_joint_multipass(imgs, masks, mats,
+                                          pad_frac=0.20, **kw)
+            np.testing.assert_allclose(np.asarray(ti), np.asarray(ri),
+                                       atol=5e-3, rtol=0)
+            assert np.mean(np.asarray(tm) != np.asarray(rm)) < 1e-3
 
     def test_nonsquare_frames(self):
         imgs, masks = _rand_batch(b=2, h=48, w=80, seed=13)
         mats = _mats(2, 48, 80, seed=14, rot_deg=20.0)
         ri, rm, fi, fm = _run_both(imgs, masks, mats)
-        np.testing.assert_allclose(fi, ri, atol=2e-3, rtol=0)
+        np.testing.assert_allclose(fi, ri, atol=5e-3, rtol=0)
         assert np.mean(fm != rm) < 2e-3
