@@ -314,7 +314,9 @@ def warp_joint_multipass(images: Array, masks: Array, mats: Array,
                          fill: float = 0.0,
                          pad_frac: float = 0.5,
                          fused: Optional[bool] = None,
-                         interpret: bool = False) -> Tuple[Array, Array]:
+                         interpret: bool = False,
+                         disp: Optional[Tuple[Array, Array]] = None,
+                         disp_k: int = 0) -> Tuple[Array, Array]:
     """Drop-in for warp.warp_joint(images, masks, mats, disp=None).
 
     images (B,H,W,C) float; masks (B,H,W,K); mats (B,3,3) inverse affine.
@@ -354,16 +356,31 @@ def warp_joint_multipass(images: Array, masks: Array, mats: Array,
 
     px = _round_pad(int(math.ceil(w * pad_frac)), w)
     py = _round_pad(int(math.ceil(h * pad_frac)), h)
+    if disp is not None:
+        # elastic-in-kernel-Y needs the y-band: py ≥ K+1
+        py = max(py, _round_pad(disp_k + 1, h))
 
     use_fused = use_pallas("STP_PALLAS_WARP") if fused is None else fused
     if use_fused:
         # fully-fused x/y pipelines: 2 launches, zero transposes, padding
         # and tap matrices built in VMEM (pallas_warp.py) — semantically
-        # identical to the 3 passes below (property-tested)
+        # identical to the 3 passes below (property-tested); an elastic
+        # displacement field rides the y-launch (kernel YE)
         from .pallas_warp import warp_joint_fused
 
+        dyx = {} if disp is None else dict(dy=disp[1], dx=disp[0],
+                                           k=disp_k)
         return warp_joint_fused(img, msk, s1, e1, e2, tx, ty, s2,
-                                px, py, fill, interpret=interpret)
+                                px, py, fill, interpret=interpret, **dyx)
+    if disp is not None:
+        # unfused fallback: affine passes then the separate elastic kernel
+        img, msk = warp_joint_multipass(images, masks, mats, fill=fill,
+                                        pad_frac=pad_frac, fused=False,
+                                        interpret=interpret)
+        from .pallas_elastic import warp_elastic_joint
+
+        return warp_elastic_joint(img, msk, disp[1], disp[0], disp_k,
+                                  fill=fill, interpret=interpret)
 
     # pass 1: x-shear (src_x = x + s1·(y-cy)) on an x-padded canvas
     img = jnp.pad(img, ((0, 0), (0, 0), (px, px), (0, 0)),

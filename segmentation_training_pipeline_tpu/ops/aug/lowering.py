@@ -558,14 +558,9 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                     imgs, masks, mats, pad_frac=_pad_frac(h, w))
             elif (disp is not None and _multipass_ok(h == w)
                   and kbound <= 64 and _use_pallas_elastic()):
-                # affine via multipass, then the bounded elastic via the
-                # Pallas range-select kernel: the residual displacement
-                # after the affine pass is D' = A₂ₓ₂⁻¹ · D.  (Round-2
-                # lead: fold image+mask into ONE kernel sweep with a
-                # per-channel kinds vector like pallas_shear.)
+                # affine + bounded elastic: the residual displacement
+                # after the affine pass is D' = A₂ₓ₂⁻¹ · D
                 if geo_nonelastic:
-                    imgs, masks = FW.warp_joint_multipass(
-                        imgs, masks, mats, pad_frac=_pad_frac(h, w))
                     a00, a01 = mats[:, 0, 0], mats[:, 0, 1]
                     a10, a11 = mats[:, 1, 0], mats[:, 1, 1]
                     det = a00 * a11 - a01 * a10
@@ -575,14 +570,31 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                            - a01[:, None, None] * dyf) / det[:, None, None]
                     dyp = (-a10[:, None, None] * dxf
                            + a00[:, None, None] * dyf) / det[:, None, None]
+                    dxp = jnp.clip(dxp, -kbound, kbound)
+                    dyp = jnp.clip(dyp, -kbound, kbound)
+                    if os.environ.get("STP_FUSE_ELASTIC", "0") not in (
+                            "0", "false"):
+                        # kernel YE (elastic inside the y-launch): measured
+                        # NET-NEGATIVE at B128 512² (492 vs 485 ms — the
+                        # row-tiled separate kernel pipelines better than a
+                        # whole-plane tail; PERF.md round 2).  Kept behind
+                        # this flag for other shapes/future Mosaic.
+                        imgs, masks = FW.warp_joint_multipass(
+                            imgs, masks, mats, pad_frac=_pad_frac(h, w),
+                            disp=(dxp, dyp), disp_k=kbound)
+                    else:
+                        imgs, masks = FW.warp_joint_multipass(
+                            imgs, masks, mats, pad_frac=_pad_frac(h, w))
+                        imgs, masks = PE.warp_elastic_joint(
+                            imgs, masks, dyp, dxp, kbound)
                 else:
                     # elastic-only: the affine is the identity — skip the
-                    # multipass no-op and use the raw field
-                    dxp, dyp = disp
-                dxp = jnp.clip(dxp, -kbound, kbound)
-                dyp = jnp.clip(dyp, -kbound, kbound)
-                imgs, masks = PE.warp_elastic_joint(imgs, masks, dyp, dxp,
-                                                    kbound)
+                    # multipass no-op and use the raw field on the
+                    # dedicated range-select kernel
+                    dxp = jnp.clip(disp[0], -kbound, kbound)
+                    dyp = jnp.clip(disp[1], -kbound, kbound)
+                    imgs, masks = PE.warp_elastic_joint(imgs, masks, dyp,
+                                                        dxp, kbound)
             else:
                 # exact footprint gather: large/unbounded displacement,
                 # non-square frames with >=90-deg rotations, or CPU; u8

@@ -37,7 +37,7 @@ port, this decomposition is the TPU-native design.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -131,14 +131,11 @@ def _warp_x_kernel(scal_ref, kind_ref, x_ref, out_ref, canvas_ref, *,
     out_ref[0, 0] = res2
 
 
-def _warp_y_kernel(scal_ref, kind_ref, x_ref, out_ref, canvas_ref, *,
-                   h: int, w: int, py: int, fill: float):
-    """y-pipeline for one (batch, channel) plane.
-
-    x_ref: (1, 1, H, W) f32 — kernel X's output.
-    canvas_ref: (H+2py, W) f32 scratch (the y-padded intermediate).
-    out_ref: (1, 1, H, W).
-    """
+def _y_pipeline(scal_ref, kind_ref, x_ref, canvas_ref, *,
+                h: int, w: int, py: int, fill: float):
+    """Shared y-pipeline body: y-scale dot + y-shear sublane rolls.
+    Returns (res (H+2py, W) canvas, is_mask) — callers slice the frame or
+    run the elastic tail over the band."""
     hp = h + 2 * py
     bi = pl.program_id(0)
     e2 = scal_ref[bi, 3]
@@ -190,23 +187,86 @@ def _warp_y_kernel(scal_ref, kind_ref, x_ref, out_ref, canvas_ref, *,
     res = jnp.where(src < 0.0, nxt, res)
     oob = (src < -0.5) | (src > hp - 0.5)
     res = jnp.where(oob, fill, res)
+    return res, is_mask
 
-    # 6. static slice back to the frame rows
+
+def _warp_y_kernel(scal_ref, kind_ref, x_ref, out_ref, canvas_ref, *,
+                   h: int, w: int, py: int, fill: float):
+    """Plain y-pipeline: static slice back to the frame rows."""
+    res, _ = _y_pipeline(scal_ref, kind_ref, x_ref, canvas_ref,
+                         h=h, w=w, py=py, fill=fill)
     out_ref[0, 0] = res[py:py + h, :]
+
+
+def _warp_ye_kernel(scal_ref, kind_ref, dy_ref, dx_ref, x_ref, out_ref,
+                    canvas_ref, *, h: int, w: int, py: int, k: int,
+                    fill: float):
+    """y-pipeline + fused elastic tail.
+
+    The two-stage path (affine warp → slice → pad with fill → elastic
+    kernel) re-reads the whole batch from HBM; here the y-shear canvas is
+    already VMEM-resident and rows [py-K, py+h+K+1) ARE the elastic
+    band: the displacement clamp keeps every non-zero tap inside the
+    frame rows [py, py+h) (+1 zero-weight bilinear neighbor), so sampling
+    the canvas band is exact vs the padded-frame formulation
+    (pallas_elastic._elastic_joint_kernel semantics; requires py ≥ K+1,
+    enforced by the caller).
+
+    dy_ref/dx_ref: (1, H, W) f32 — per-pixel displacements, |d| ≤ K.
+    """
+    res, is_mask = _y_pipeline(scal_ref, kind_ref, x_ref, canvas_ref,
+                               h=h, w=w, py=py, fill=fill)
+    # stage the sheared canvas back into scratch: the 2K+1 band reads
+    # below become ref slices (cheap address math) instead of slices of a
+    # live SSA value the compiler must keep materialized
+    canvas_ref[:, :] = res
+    dy_raw = dy_ref[0]
+    dx_raw = dx_ref[0]
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    dy = jnp.clip(yy + dy_raw, 0.0, h - 1.0) - yy
+    dx = jnp.clip(xx + dx_raw, 0.0, w - 1.0) - xx
+
+    iy = jnp.floor(dy)
+    fy = dy - iy
+    fy = jnp.where(is_mask, jnp.floor(fy + 0.5), fy)
+    row = jnp.zeros((h, w), jnp.float32)
+    for s in range(-k, k + 1):
+        cand = canvas_ref[py + s: py + s + h, :]
+        nxt = canvas_ref[py + s + 1: py + s + 1 + h, :]
+        row = jnp.where(iy == s, (1.0 - fy) * cand + fy * nxt, row)
+
+    ix = jnp.floor(dx)
+    fx = dx - ix
+    fx = jnp.where(is_mask, jnp.floor(fx + 0.5), fx)
+    cur = pltpu.roll(row, k % w, 1)
+    out = jnp.zeros((h, w), jnp.float32)
+    for s in range(-k, k + 1):
+        nxt2 = pltpu.roll(cur, w - 1, 1)
+        out = jnp.where(ix == s, (1.0 - fx) * cur + fx * nxt2, out)
+        cur = nxt2
+
+    sy = yy + dy_raw
+    sx = xx + dx_raw
+    oob = ((sy < -0.5) | (sy > h - 0.5) | (sx < -0.5) | (sx > w - 0.5))
+    out_ref[0, 0] = jnp.where(oob, fill, out)
 
 
 def warp_fused_tpu(planes: Array, kinds: Array, scalars: Array,
                    px: int, py: int, fill: float,
+                   dy: Optional[Array] = None, dx: Optional[Array] = None,
+                   k: int = 0,
                    interpret: bool = False) -> Array:
     """planes (B, C, H, W) f32; kinds (C,) i32; scalars (B, 6) f32 =
     (s1, e1, tx, e2, ty, s2) per image → warped (B, C, H, W).
 
     Two pallas_call launches (x-pipeline, y-pipeline); all padding, tap
-    matrices, and intermediates live in VMEM scratch.
+    matrices, and intermediates live in VMEM scratch.  With dy/dx
+    ((B, H, W) f32, |d| ≤ k ≤ py-1) the elastic resample fuses into the
+    y-pipeline launch (kernel YE) — no extra round trip.
     """
     b, c, h, w = planes.shape
     kx = functools.partial(_warp_x_kernel, h=h, w=w, px=px, fill=fill)
-    ky = functools.partial(_warp_y_kernel, h=h, w=w, py=py, fill=fill)
 
     grid = (b, c)
     # full-array SMEM refs (Mosaic rejects sub-(8,128) blocked SMEM specs);
@@ -225,24 +285,53 @@ def warp_fused_tpu(planes: Array, kinds: Array, scalars: Array,
         interpret=interpret,
     )(scalars, kinds.reshape(c, 1), planes)
 
+    y_scratch = [pltpu.VMEM((h + 2 * py, w), jnp.float32)]
+    # the YE kernel holds several plane-sized values at once (canvas, tap
+    # matrix, roll chain, elastic band selects): the default 16M scoped
+    # limit OOMs at 512² — raise it just enough (bigger limits degrade
+    # Mosaic's pipelining headroom)
+    params = pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024)
+    if dy is None:
+        ky = functools.partial(_warp_y_kernel, h=h, w=w, py=py, fill=fill)
+        return pl.pallas_call(
+            ky, grid=grid,
+            in_specs=[scal_spec, kind_spec, plane_spec],
+            out_specs=plane_spec,
+            out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+            scratch_shapes=y_scratch,
+            interpret=interpret,
+        )(scalars, kinds.reshape(c, 1), mid)
+
+    assert k + 1 <= py, f"elastic bound K={k} needs y-pad ≥ K+1, got {py}"
+    kye = functools.partial(_warp_ye_kernel, h=h, w=w, py=py, k=k,
+                            fill=fill)
+    # displacement tiles repeat across the channel grid axis → DMA'd once
+    # per batch element
+    disp_spec = pl.BlockSpec((1, h, w), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        ky, grid=grid,
-        in_specs=[scal_spec, kind_spec, plane_spec],
+        kye, grid=grid,
+        in_specs=[scal_spec, kind_spec, disp_spec, disp_spec, plane_spec],
         out_specs=plane_spec,
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((h + 2 * py, w), jnp.float32)],
+        scratch_shapes=y_scratch,
+        compiler_params=params,
         interpret=interpret,
-    )(scalars, kinds.reshape(c, 1), mid)
+    )(scalars, kinds.reshape(c, 1), dy.astype(jnp.float32),
+      dx.astype(jnp.float32), mid)
 
 
 def warp_joint_fused(images: Array, masks: Array,
                      s1: Array, e1: Array, e2: Array,
                      tx: Array, ty: Array, s2: Array,
                      px: int, py: int, fill: float = 0.0,
+                     dy: Optional[Array] = None,
+                     dx: Optional[Array] = None, k: int = 0,
                      interpret: bool = False) -> Tuple[Array, Array]:
     """Fused equivalent of fast_warp's pass1→pass3 chain (after rot90
     extraction and shear-centering — the caller passes the adjusted
-    scalars).  images (B,H,W,C) f32, masks (B,H,W,K) → same shapes."""
+    scalars), optionally with the elastic resample fused into the
+    y-launch.  images (B,H,W,C) f32, masks (B,H,W,K) → same shapes."""
     ci = images.shape[-1]
     joint = jnp.concatenate(
         [images.astype(jnp.float32), masks.astype(jnp.float32)],
@@ -252,6 +341,6 @@ def warp_joint_fused(images: Array, masks: Array,
         jnp.ones((masks.shape[-1],), jnp.int32)])
     scalars = jnp.stack([s1, e1, tx, e2, ty, s2], axis=1).astype(jnp.float32)
     out = warp_fused_tpu(joint, kinds, scalars, px, py, fill,
-                         interpret=interpret)
+                         dy=dy, dx=dx, k=k, interpret=interpret)
     out = out.transpose(0, 2, 3, 1)
     return out[..., :ci], out[..., ci:].astype(masks.dtype)

@@ -129,3 +129,52 @@ class TestFusedMatchesUnfused:
         ri, rm, fi, fm = _run_both(imgs, masks, mats)
         np.testing.assert_allclose(fi, ri, atol=5e-3, rtol=0)
         assert np.mean(fm != rm) < 2e-3
+
+
+class TestElasticFusedIntoY:
+    """Kernel YE (elastic tail in the y-launch) vs the two-stage path
+    (affine warp → separate pallas_elastic joint kernel)."""
+
+    @pytest.mark.parametrize("seed,kb", [(31, 6), (32, 12)])
+    def test_matches_two_stage(self, seed, kb):
+        from segmentation_training_pipeline_tpu.ops.aug.pallas_elastic import (
+            warp_elastic_joint)
+
+        imgs, masks = _rand_batch(seed=seed)
+        mats = _mats(3, 64, 64, seed=seed + 40, rot_deg=12.0, trans=5.0)
+        r = np.random.RandomState(seed)
+        dx = jnp.asarray(
+            (r.rand(3, 64, 64).astype(np.float32) * 2 - 1) * (kb - 1))
+        dy = jnp.asarray(
+            (r.rand(3, 64, 64).astype(np.float32) * 2 - 1) * (kb - 1))
+
+        # two-stage reference: fused affine, then the elastic kernel on
+        # the sliced frame
+        ai, am = warp_joint_multipass(imgs, masks, mats, fused=True,
+                                      interpret=True)
+        ri, rm = warp_elastic_joint(ai, am, dy, dx, kb, interpret=True)
+
+        fi, fm = warp_joint_multipass(imgs, masks, mats, fused=True,
+                                      interpret=True, disp=(dx, dy),
+                                      disp_k=kb)
+        np.testing.assert_allclose(np.asarray(fi), np.asarray(ri),
+                                   atol=1e-2, rtol=0)
+        assert np.mean(np.asarray(fm) != np.asarray(rm)) < 2e-3
+
+    def test_unfused_disp_fallback(self):
+        """disp on the XLA fallback path routes through the separate
+        elastic kernel — same results as the fused YE."""
+        imgs, masks = _rand_batch(b=2, seed=35)
+        mats = _mats(2, 64, 64, seed=36, rot_deg=10.0)
+        r = np.random.RandomState(4)
+        dx = jnp.asarray((r.rand(2, 64, 64).astype(np.float32) * 2 - 1) * 5)
+        dy = jnp.asarray((r.rand(2, 64, 64).astype(np.float32) * 2 - 1) * 5)
+        fi, fm = warp_joint_multipass(imgs, masks, mats, fused=True,
+                                      interpret=True, disp=(dx, dy),
+                                      disp_k=6)
+        ui, um = warp_joint_multipass(imgs, masks, mats, fused=False,
+                                      interpret=True, disp=(dx, dy),
+                                      disp_k=6)
+        np.testing.assert_allclose(np.asarray(fi), np.asarray(ui),
+                                   atol=1e-2, rtol=0)
+        assert np.mean(np.asarray(fm) != np.asarray(um)) < 2e-3
