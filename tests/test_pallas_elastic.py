@@ -60,6 +60,41 @@ class TestSmoothField:
         assert inter / union > 0.97
 
 
+class TestGatherXResample:
+    """W ≥ 128 + K ≤ 30 dispatches the joint kernel's x resample to
+    windowed tpu.dynamic_gather (128-lane windows, stride 64) — must be
+    bit-equal to the 2K+1 roll sweep (force the sweep via K=31)."""
+
+    @pytest.mark.parametrize("w,kb", [(128, 6), (192, 12), (256, 29)])
+    def test_gather_equals_rolls(self, w, kb):
+        rng = np.random.RandomState(7)
+        B, H = 2, 64
+        img = jnp.asarray(rng.rand(B, H, w, 3).astype(np.float32) * 255)
+        msk = (img[..., :1] > 127).astype(np.float32)
+        dy = jnp.asarray(
+            rng.uniform(-(kb - 1), kb - 1, (B, H, w)).astype(np.float32))
+        dx = jnp.asarray(
+            rng.uniform(-(kb - 1), kb - 1, (B, H, w)).astype(np.float32))
+        gi, gm = PE.warp_elastic_joint(img, msk, dy, dx, kb, interpret=True)
+        # K=31 forces the roll-sweep branch; pad displacements stay ≤ kb
+        ri, rm = PE.warp_elastic_joint(img, msk, dy, dx, 31, interpret=True)
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(ri),
+                                   atol=1e-4)  # f32 blend-order noise
+        np.testing.assert_array_equal(np.asarray(gm), np.asarray(rm))
+
+    def test_gather_vs_footprint_oracle_single_axis(self):
+        rng = np.random.RandomState(9)
+        B, H, Wd = 2, 64, 128
+        img = jnp.asarray(rng.rand(B, H, Wd, 3).astype(np.float32))
+        msk = (img[..., :1] > 0.5).astype(np.float32)
+        d = jnp.asarray(rng.uniform(-5, 5, (B, H, Wd)).astype(np.float32))
+        z = jnp.zeros_like(d)
+        oi, om = W.warp_joint(img, msk, W.identity_mats(B), (d, z))
+        pi, pm = PE.warp_elastic_joint(img, msk, z, d, 7, interpret=True)
+        assert float(jnp.abs(oi - pi).max()) < 1e-5
+        assert float(jnp.abs(om - pm).max()) == 0.0
+
+
 class TestLoweringDispatch:
     def test_affine_plus_elastic_pallas_path(self, data, monkeypatch):
         """Force the Pallas elastic path (interpret mode) through the full
