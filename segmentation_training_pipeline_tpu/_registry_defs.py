@@ -74,10 +74,15 @@ for name, aliases in [
     ("Affine", ()),
     ("ElasticTransformation", ("ElasticTransform", "Elastic")),
     ("Crop", ()),
+    ("CropAndPad", ()),
+    ("Pad", ()),
     ("CropToFixedSize", ("RandomCrop",)),
     ("Multiply", ()),
     ("Add", ()),
     ("LinearContrast", ("ContrastNormalization",)),
+    ("GammaContrast", ()),
+    ("SigmoidContrast", ()),
+    ("LogContrast", ()),
     ("AdditiveGaussianNoise", ()),
     ("GaussianBlur", ()),
     ("CoarseDropout", ("Cutout",)),

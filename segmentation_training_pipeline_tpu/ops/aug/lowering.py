@@ -44,7 +44,8 @@ def _use_pallas_elastic() -> bool:
 Array = jax.Array
 
 _GEOMETRIC = {"fliplr", "horizontalflip", "flipud", "verticalflip", "rot90",
-              "affine", "crop", "croptofixedsize", "randomcrop",
+              "affine", "crop", "cropandpad", "pad",
+              "croptofixedsize", "randomcrop",
               "elastictransformation", "elastictransform", "elastic",
               "piecewiseaffine", "perspectivetransform"}
 
@@ -353,6 +354,14 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                     vals = pct if isinstance(pct, (list, tuple)) else [pct]
                     pmax = max(float(v) for v in vals)
                     mag *= 1.0 / max(1.0 - 2.0 * pmax, 0.1)
+                elif name in ("cropandpad", "pad"):
+                    # negative percent crops (zoom-in magnifies disp)
+                    pct = a.get("percent", a if not isinstance(a, dict)
+                                 else [0, 0.1])
+                    vals = pct if isinstance(pct, (list, tuple)) else [pct]
+                    pmin = min(float(v) for v in vals)
+                    if pmin < 0:
+                        mag *= 1.0 / max(1.0 + 2.0 * pmin, 0.1)
                 elif name in ("croptofixedsize", "randomcrop"):
                     # zoom factor known only relative to the input shape;
                     # bounded inside aug_fn where h/w are known — use a
@@ -480,6 +489,30 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                 m = m.at[:, 1, 1].set(1.0 - top - bot)
                 m = m.at[:, 0, 2].set(left * w)
                 m = m.at[:, 1, 2].set(top * h)
+                mats = W.compose(m, mats)
+            elif name in ("cropandpad", "pad"):
+                # imgaug CropAndPad (keep_size=True): per-side signed
+                # fraction — POSITIVE pads (source window grows beyond
+                # the frame, fill outside), NEGATIVE crops; Pad is the
+                # non-negative variant.  src = (1+pl+pr)·x − pl·w.
+                a = args or {}
+                pct = a.get("percent", a if not isinstance(a, dict)
+                            else [0, 0.1])
+                k1, k2, k3, k4 = jax.random.split(k, 4)
+                left = _sample(k1, pct, b, 0.0)
+                right = _sample(k2, pct, b, 0.0)
+                top = _sample(k3, pct, b, 0.0)
+                bot = _sample(k4, pct, b, 0.0)
+                if name == "pad":
+                    left = jnp.maximum(left, 0.0)
+                    right = jnp.maximum(right, 0.0)
+                    top = jnp.maximum(top, 0.0)
+                    bot = jnp.maximum(bot, 0.0)
+                m = W.identity_mats(b)
+                m = m.at[:, 0, 0].set(1.0 + left + right)
+                m = m.at[:, 1, 1].set(1.0 + top + bot)
+                m = m.at[:, 0, 2].set(-left * w)
+                m = m.at[:, 1, 2].set(-top * h)
                 mats = W.compose(m, mats)
             elif name in ("croptofixedsize", "randomcrop"):
                 a = args or {}
@@ -769,6 +802,20 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
     elif name in ("linearcontrast", "contrastnormalization"):
         a = args if not isinstance(args, dict) else args.get("alpha", 1.0)
         imgs = ph.linear_contrast(imgs, _sample(k, a, b, 1.0))
+    elif name == "gammacontrast":
+        a = args if not isinstance(args, dict) else args.get("gamma", 1.0)
+        imgs = ph.gamma_contrast(
+            imgs, _sample_maybe_per_channel(k, a, b, c, per_ch, 1.0))
+    elif name == "sigmoidcontrast":
+        a = args if isinstance(args, dict) else {"gain": args}
+        k1, k2 = jax.random.split(k)
+        gain = _sample(k1, a.get("gain", 10.0), b, 10.0)
+        cutoff = _sample(k2, a.get("cutoff", 0.5), b, 0.5)
+        imgs = ph.sigmoid_contrast(imgs, gain, cutoff)
+    elif name == "logcontrast":
+        a = args if not isinstance(args, dict) else args.get("gain", 1.0)
+        imgs = ph.log_contrast(
+            imgs, _sample_maybe_per_channel(k, a, b, c, per_ch, 1.0))
     elif name == "additivegaussiannoise":
         a = args if not isinstance(args, dict) else args.get("scale", 0.0)
         k1, k2 = jax.random.split(k)

@@ -95,6 +95,25 @@ def linear_contrast(images: Array, alpha: Array) -> Array:
     return 127.0 + a * (images - 127.0)
 
 
+def gamma_contrast(images: Array, gamma: Array) -> Array:
+    """imgaug GammaContrast: v' = 255·(v/255)^gamma (per image, optional
+    per-channel when gamma is (B, C))."""
+    x = jnp.clip(images, 0.0, 255.0) / 255.0
+    return jnp.power(x, _bcast(gamma)) * 255.0
+
+
+def sigmoid_contrast(images: Array, gain: Array, cutoff: Array) -> Array:
+    """imgaug SigmoidContrast: v' = 255/(1 + exp(gain·(cutoff − v/255)))."""
+    x = jnp.clip(images, 0.0, 255.0) / 255.0
+    return 255.0 / (1.0 + jnp.exp(_bcast(gain) * (_bcast(cutoff) - x)))
+
+
+def log_contrast(images: Array, gain: Array) -> Array:
+    """imgaug LogContrast: v' = 255·gain·log2(1 + v/255)."""
+    x = jnp.clip(images, 0.0, 255.0) / 255.0
+    return 255.0 * _bcast(gain) * jnp.log2(1.0 + x)
+
+
 def gaussian_noise(rng: Array, images: Array, scale: Array) -> Array:
     noise = jax.random.normal(rng, images.shape, jnp.float32)
     return images + noise * scale[:, None, None, None]

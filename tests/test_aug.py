@@ -252,3 +252,59 @@ class TestNewPhotometric:
             oi, om = _run([spec], imgs, masks)
             assert np.abs(oi - imgs.astype(np.float32)).mean() > 0.5
             np.testing.assert_array_equal(om, masks)  # masks untouched
+
+
+class TestContrastOps:
+    """GammaContrast / SigmoidContrast / LogContrast vs the imgaug
+    formulas (deterministic params → closed-form numpy oracle)."""
+
+    def test_gamma(self):
+        imgs, masks = _imgs(), _masks()
+        oi, _ = _run([("GammaContrast", 2.0)], imgs, masks)
+        ref = ((imgs.astype(np.float32) / 255.0) ** 2.0) * 255.0
+        np.testing.assert_allclose(oi, np.clip(ref, 0, 255), atol=1e-2)
+
+    def test_sigmoid(self):
+        imgs, masks = _imgs(), _masks()
+        oi, _ = _run([("SigmoidContrast", {"gain": 8.0, "cutoff": 0.4})],
+                     imgs, masks)
+        x = imgs.astype(np.float32) / 255.0
+        ref = 255.0 / (1.0 + np.exp(8.0 * (0.4 - x)))
+        np.testing.assert_allclose(oi, np.clip(ref, 0, 255), atol=1e-2)
+
+    def test_log(self):
+        imgs, masks = _imgs(), _masks()
+        oi, _ = _run([("LogContrast", 0.8)], imgs, masks)
+        ref = 255.0 * 0.8 * np.log2(1.0 + imgs.astype(np.float32) / 255.0)
+        np.testing.assert_allclose(oi, np.clip(ref, 0, 255), atol=1e-2)
+
+
+class TestCropAndPad:
+    def test_negative_percent_equals_crop(self):
+        """CropAndPad(percent=-c) ≡ Crop(percent=c) (deterministic c)."""
+        imgs, masks = _imgs(h=32, w=32), _masks(h=32, w=32)
+        ci, cm = _run([("Crop", {"percent": 0.1})], imgs, masks)
+        pi, pm = _run([("CropAndPad", {"percent": -0.1})], imgs, masks)
+        np.testing.assert_allclose(pi, ci, atol=1e-3)
+        np.testing.assert_array_equal(pm, cm)
+
+    def test_pad_shrinks_content_with_fill_border(self):
+        """Pad(percent=p, keep_size) squeezes the frame into the center;
+        the border is warp fill (0)."""
+        imgs = np.full((1, 32, 32, 3), 200, np.uint8)
+        masks = np.ones((1, 32, 32, 1), np.float32)
+        oi, om = _run([("Pad", {"percent": 0.25})], imgs, masks)
+        # src = 1.5·x − 8: the dst frame maps to src [−8, 39] → content
+        # occupies dst x ∈ [6, 26]-ish; corners are fill
+        assert oi[0, 0, 0, 0] == 0.0 and oi[0, -1, -1, 0] == 0.0
+        assert om[0, 0, 0, 0] == 0.0
+        assert abs(oi[0, 16, 16, 0] - 200.0) < 1.0
+        assert om[0, 16, 16, 0] == 1.0
+        frac = om.mean()
+        assert 0.35 < frac < 0.55  # (1/1.5)² ≈ 0.44 of the frame
+
+    def test_pad_never_crops(self):
+        """Pad clamps negative samples to 0 — content never zooms in."""
+        imgs, masks = _imgs(h=32, w=32), _masks(h=32, w=32)
+        oi, om = _run([("Pad", {"percent": [-0.2, 0.0]})], imgs, masks)
+        np.testing.assert_allclose(oi, imgs.astype(np.float32), atol=1e-3)
