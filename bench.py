@@ -83,6 +83,46 @@ def main():
     lr = jnp.asarray(1e-3, jnp.float32)
     key = _jax.random.PRNGKey(0)
 
+    if os.environ.get("BENCH_MODE", "device") == "infer":
+        # serving-side: flip-TTA fused predict program (InferenceBundle),
+        # device-resident batches (the host wire is measured by the
+        # pipeline mode; this is the chip's predict throughput)
+        import tempfile
+
+        from segmentation_training_pipeline_tpu.infer import InferenceBundle
+        from segmentation_training_pipeline_tpu.train.checkpoint import (
+            save_checkpoint)
+
+        d = tempfile.mkdtemp(prefix="stp_infer_bench_")
+        icfg = parse_dict(dict(
+            architecture="Unet", backbone="resnet34", shape=[H, W, 3],
+            classes=1, activation="sigmoid", dtype="bfloat16",
+            flipPred=True, directory=d, stages=[{"epochs": 1}]))
+        save_checkpoint(icfg.weights_path(0, 0), variables,
+                        meta={"done": True})
+        bundle = InferenceBundle(icfg, folds=[0], stage=0)
+        ib = int(os.environ.get("BENCH_INFER_BATCH", "64"))
+        imgs = _jax.device_put(
+            rng.randint(0, 255, (ib, H, W, 3), dtype=np.uint8))
+        fv = _jax.device_put(bundle.fold_vars[0])
+        for _ in range(WARMUP):
+            p = bundle._predict(fv, imgs)
+        float(_jax.device_get(p[0, 0, 0, 0]))
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            p = bundle._predict(fv, imgs)
+        float(_jax.device_get(p[0, 0, 0, 0]))
+        dt = time.perf_counter() - t0
+        n_chips = len(_jax.devices())
+        ips = ib * STEPS / dt / max(1, n_chips)
+        print(json.dumps({
+            "metric": "predict_fliptta_images_per_sec_per_chip_unet_resnet34_512",
+            "value": round(ips, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(ips / 75.0, 3),
+        }))
+        return
+
     if os.environ.get("BENCH_MODE", "device") == "pipeline":
         # end-to-end: PNGs on disk -> native loader -> Prefetcher -> device
         import tempfile

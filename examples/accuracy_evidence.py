@@ -22,16 +22,24 @@ def main() -> None:
     p.add_argument("--out", default="/tmp/stp_accuracy")
     p.add_argument("--n", type=int, default=400)
     p.add_argument("--epochs", type=int, default=25)
-    p.add_argument("--config", choices=["1", "2", "both"], default="both")
+    p.add_argument("--config", choices=["1", "2", "3", "4", "both", "all"],
+                   default="both")
     args = p.parse_args()
 
     import segmentation_training_pipeline_tpu as stp
     from segmentation_training_pipeline_tpu.data.synthetic import (
-        generate_shapes_dataset)
+        generate_multiclass_shapes_dataset, generate_shapes_dataset)
 
     results = {}
 
-    if args.config in ("1", "both"):
+    def _want(c: str) -> bool:
+        if args.config == "all":
+            return True
+        if args.config == "both":
+            return c in ("1", "2")
+        return args.config == c
+
+    if _want("1"):
         # BASELINE config 1: Unet-resnet34 128², BCE(+dice), single fold
         d = os.path.join(args.out, "config1")
         os.makedirs(d, exist_ok=True)
@@ -52,7 +60,7 @@ def main() -> None:
         results["config1_unet_resnet34_128"] = ev
         print("config1 evaluate:", ev)
 
-    if args.config in ("2", "both"):
+    if _want("2"):
         # BASELINE config 2: FPN-efficientnetb0 with the YAML aug block
         # (Fliplr / Affine rotate / elastic) on-device; 256² keeps the run
         # minutes-scale while exercising the 512-style aug path
@@ -79,6 +87,55 @@ def main() -> None:
         ev = cfg.evaluate(ds)
         results["config2_fpn_efficientnetb0_256"] = ev
         print("config2 evaluate:", ev)
+
+    if _want("3"):
+        # BASELINE config 3: PSPNet multiclass (softmax, 3 classes) with a
+        # composite dice+focal loss and class balancing
+        d = os.path.join(args.out, "config3")
+        os.makedirs(d, exist_ok=True)
+        ds = generate_multiclass_shapes_dataset(args.n, size=128, seed=13)
+        cfg = stp.parse_dict(dict(
+            architecture="PSPNet", backbone="resnet34",
+            shape=[128, 128, 3], classes=3, activation="softmax",
+            loss="categorical_crossentropy + 0.5*categorical_focal_loss",
+            class_weights=[0.3, 1.0, 1.0],
+            optimizer="Adam", lr=1e-3, batch=16,
+            metrics=["iou", "dice"], primary_metric="val_iou",
+            folds_count=5, random_state=33,
+            stages=[{"epochs": args.epochs}],
+            callbacks={"ReduceLROnPlateau": {
+                "monitor": "val_iou", "factor": 0.5, "patience": 4}},
+        ), directory=d)
+        cfg.fit(ds, foldsToExecute=[0], verbose=1)
+        ev = cfg.evaluate(ds)
+        results["config3_pspnet_resnet34_multiclass_128"] = ev
+        print("config3 evaluate:", ev)
+
+    if _want("4"):
+        # BASELINE config 4: 5-fold, multi-stage freeze -> unfreeze with an
+        # LR drop and negatives=real sampling (25% empty-mask items)
+        d = os.path.join(args.out, "config4")
+        os.makedirs(d, exist_ok=True)
+        ds = generate_shapes_dataset(args.n, size=128, seed=17,
+                                     p_empty=0.25)
+        e1 = max(2, args.epochs // 4)
+        e2 = max(4, args.epochs - e1)
+        cfg = stp.parse_dict(dict(
+            architecture="Unet", backbone="resnet34",
+            shape=[128, 128, 3], classes=1, activation="sigmoid",
+            loss="binary_crossentropy + 0.25*dice_loss",
+            optimizer="Adam", lr=1e-3, batch=16,
+            metrics=["iou", "dice"], primary_metric="val_iou",
+            folds_count=5, random_state=33,
+            negatives="real", validation_negatives="real",
+            stages=[{"epochs": e1, "freeze_encoder": True},
+                    {"epochs": e2, "unfreeze_encoder": True,
+                     "lr": 3e-4}],
+        ), directory=d)
+        cfg.fit(ds, foldsToExecute=[0, 1], verbose=1)
+        ev = cfg.evaluate(ds, folds=[0, 1])
+        results["config4_unet_resnet34_5fold_stages_negatives"] = ev
+        print("config4 evaluate:", ev)
 
     out_json = os.path.join(args.out, "accuracy.json")
     with open(out_json, "w") as f:

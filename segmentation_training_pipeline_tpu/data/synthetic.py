@@ -68,16 +68,95 @@ def _one_item(r: np.random.RandomState, size: int) -> Tuple[np.ndarray, np.ndarr
     return img, mask.astype(np.uint8)
 
 
-def generate_shapes_dataset(n: int, size: int = 128,
-                            seed: int = 7) -> LambdaDataSet:
-    """→ in-memory LambdaDataSet of ``n`` (image, mask) pairs."""
+def generate_shapes_dataset(n: int, size: int = 128, seed: int = 7,
+                            p_empty: float = 0.0) -> LambdaDataSet:
+    """→ in-memory LambdaDataSet of ``n`` (image, mask) pairs.
+
+    ``p_empty``: probability of a background-only item (empty mask) — the
+    negatives:/validation_negatives: sampling paths need real negatives to
+    be meaningful (BASELINE config 4 evidence)."""
     r = np.random.RandomState(seed)
     xs, ys = [], []
     for _ in range(n):
-        x, y = _one_item(r, size)
+        if p_empty > 0.0 and r.rand() < p_empty:
+            x, y = _background_only(r, size)
+        else:
+            x, y = _one_item(r, size)
         xs.append(x)
         ys.append(y * 255)
     return LambdaDataSet(xs, ys, ids=[f"shape{i:04d}" for i in range(n)])
+
+
+def _background_only(r: np.random.RandomState,
+                     size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """A negative item: textured background (+ optional occluder bar), no
+    foreground shapes, empty mask."""
+    base = r.uniform(40, 110)
+    gy, gx = r.uniform(-30, 30, size=2)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    img = base + gy * yy + gx * xx + r.randn(size, size).astype(np.float32) * 8
+    img = np.repeat(img[:, :, None], 3, axis=2)
+    img += r.randn(1, 1, 3).astype(np.float32) * 6
+    if r.rand() < 0.6:
+        cy, cx = r.uniform(0, size, size=2)
+        theta = r.uniform(0, np.pi)
+        ry, _ = _rot_grid(size, cy, cx, theta)
+        bar = np.abs(ry) < r.uniform(0.015 * size, 0.05 * size)
+        img[bar] *= r.uniform(0.25, 0.5)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    return img, np.zeros((size, size), np.uint8)
+
+
+def _one_item_multiclass(r: np.random.RandomState,
+                         size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Class-index masks: 0 background, 1 ellipses, 2 rectangles (later
+    shapes overwrite earlier — matching 'last drawn wins' semantics)."""
+    base = r.uniform(40, 110)
+    gy, gx = r.uniform(-30, 30, size=2)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    img = base + gy * yy + gx * xx + r.randn(size, size).astype(np.float32) * 8
+    img = np.repeat(img[:, :, None], 3, axis=2)
+    img += r.randn(1, 1, 3).astype(np.float32) * 6
+
+    mask = np.zeros((size, size), np.uint8)
+    for _ in range(r.randint(2, 5)):
+        cy, cx = r.uniform(0.15 * size, 0.85 * size, size=2)
+        a = r.uniform(0.08 * size, 0.25 * size)
+        b = r.uniform(0.08 * size, 0.25 * size)
+        theta = r.uniform(0, np.pi)
+        ry, rx = _rot_grid(size, cy, cx, theta)
+        is_ellipse = r.rand() < 0.5
+        if is_ellipse:
+            inside = (ry / a) ** 2 + (rx / b) ** 2 < 1.0
+        else:
+            inside = (np.abs(ry) < a) & (np.abs(rx) < b)
+        offset = r.uniform(45, 110) * (1 if r.rand() < 0.7 else -1)
+        texture = r.randn(size, size).astype(np.float32) * r.uniform(4, 12)
+        img[inside] += offset + texture[inside, None]
+        mask[inside] = 1 if is_ellipse else 2
+
+    if r.rand() < 0.6:
+        cy, cx = r.uniform(0, size, size=2)
+        theta = r.uniform(0, np.pi)
+        ry, _ = _rot_grid(size, cy, cx, theta)
+        bar = np.abs(ry) < r.uniform(0.015 * size, 0.05 * size)
+        img[bar] *= r.uniform(0.25, 0.5)
+        mask[bar] = 0
+
+    return np.clip(img, 0, 255).astype(np.uint8), mask
+
+
+def generate_multiclass_shapes_dataset(n: int, size: int = 128,
+                                       seed: int = 7) -> LambdaDataSet:
+    """3-class (background/ellipse/rectangle) class-index dataset for the
+    softmax + composite-loss + class-balancing path (BASELINE config 3)."""
+    r = np.random.RandomState(seed)
+    xs, ys = [], []
+    for _ in range(n):
+        x, y = _one_item_multiclass(r, size)
+        xs.append(x)
+        ys.append(y)
+    return LambdaDataSet(xs, ys, ids=[f"mshape{i:04d}" for i in range(n)])
 
 
 def write_shapes_dataset(out_dir: str, n: int, size: int = 128,
