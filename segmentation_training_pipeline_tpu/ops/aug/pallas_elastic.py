@@ -11,8 +11,10 @@ VMEM-resident kernel can:
     grid axis, so Pallas DMAs it once per (batch, channel);
   * y taps: range-select over the 2K+1 possible integer displacements —
     each candidate is a dynamic-base row-slice of the band (no gather);
-  * x taps: the same range-select with incremental lane rolls
-    (roll(v, s+1) = roll(roll(v, s), 1) — one 1-lane roll per step).
+  * x taps (K ≤ 30): windowed ``tpu.dynamic_gather`` — one (g0, g1)
+    gather pair per 128-lane window (Mosaic gathers are same-shape
+    within one vreg only); larger K falls back to the incremental
+    1-lane-roll range-select.
 
 Outputs/fields are processed in row tiles (keeps scoped VMEM well under
 the 16 MB limit at any batch size).  Images interpolate bilinearly
@@ -35,116 +37,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
-
-
-def _elastic_kernel(dy_ref, dx_ref, img_ref, out_ref, *, k: int, h: int,
-                    w: int, t: int, fill: float, nearest: bool):
-    """One (batch, channel, row-tile) block.
-
-    dy_ref/dx_ref: (1, T, W) f32 — per-pixel displacement for this tile.
-    img_ref:       (1, 1, H+2K+1, W) f32 — y-padded source plane
-                   (pad=fill; one extra bottom row for the s=+K y-blend).
-    out_ref:       (1, 1, T, W) f32.
-    """
-    base = pl.program_id(2) * t      # first output row of this tile
-    dy_raw = dy_ref[0]               # (T, W)
-    dx_raw = dx_ref[0]
-
-    # clamp source coords to the frame (warp_joint clips the footprint to
-    # [0, n-2] with saturated fractions — identical to sampling at the
-    # clamped coordinate); OOB fill below still uses the RAW coords
-    yy = (jax.lax.broadcasted_iota(jnp.int32, (t, w), 0)
-          .astype(jnp.float32) + base)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1).astype(jnp.float32)
-    dy = jnp.clip(yy + dy_raw, 0.0, h - 1.0) - yy
-    dx = jnp.clip(xx + dx_raw, 0.0, w - 1.0) - xx
-
-    if nearest:
-        iy = jnp.floor(dy + 0.5)
-        fy = None
-    else:
-        iy = jnp.floor(dy)
-        fy = dy - iy
-
-    # --- y resample: one ALIGNED dynamic load of the tile's band, then
-    # range-select over STATIC row slices (Mosaic rejects dynamic
-    # unaligned sublane vector loads; ``base`` is a multiple of T≥8)
-    band = img_ref[0, 0, pl.ds(base, t + 2 * k + 1), :]
-    row = jnp.zeros((t, w), jnp.float32)
-    for s in range(-k, k + 1):
-        cand = band[k + s: k + s + t, :]
-        if nearest:
-            val = cand
-        else:
-            nxt = band[k + s + 1: k + s + 1 + t, :]
-            val = (1.0 - fy) * cand + fy * nxt
-        row = jnp.where(iy == s, val, row)
-
-    if nearest:
-        ix = jnp.floor(dx + 0.5)
-        fx = None
-    else:
-        ix = jnp.floor(dx)
-        fx = dx - ix
-
-    # --- x resample: range-select with incremental lane rolls ------------
-    # cur = roll(row, -s) for s = -k..k; start at s=-k (roll left by -k ==
-    # roll right by k), advance by one 1-lane left-roll per step.
-    cur = pltpu.roll(row, k % w, 1)
-    out = jnp.zeros((t, w), jnp.float32)
-    for s in range(-k, k + 1):
-        nxt = pltpu.roll(cur, w - 1, 1)     # roll(row, -(s+1))
-        val = cur if nearest else (1.0 - fx) * cur + fx * nxt
-        out = jnp.where(ix == s, val, out)
-        cur = nxt
-
-    # --- analytic OOB fill (RAW source coordinate outside the frame) -----
-    sy = yy + dy_raw
-    sx = xx + dx_raw
-    oob = (sy < -0.5) | (sy > h - 0.5) | (sx < -0.5) | (sx > w - 0.5)
-    out_ref[0, 0] = jnp.where(oob, fill, out)
-
-
-def elastic_resample_tpu(planes: Array, dy: Array, dx: Array, k: int,
-                         fill: float, nearest: bool,
-                         row_tile: int = 128,
-                         interpret: bool = False) -> Array:
-    """planes (B, C, H, W) f32; dy/dx (B, H, W) f32 with |d| ≤ k.
-
-    → (B, C, H, W): planes[b, c, y + dy, x + dx] (bilinear or rounded),
-    fill outside the frame.
-    """
-    b, c, h, w = planes.shape
-    # tile height must divide h AND keep the dynamic band load aligned
-    # (base = r*t must be a sublane multiple of 8); fall back to a single
-    # full-height tile when no aligned divisor exists (odd sizes)
-    t = min(row_tile, h)
-    while t >= 8 and (h % t or t % 8):
-        t -= 1
-    if t < 8:
-        t = h
-    padded = jnp.pad(planes, ((0, 0), (0, 0), (k, k + 1), (0, 0)),
-                     constant_values=fill)
-    kern = functools.partial(_elastic_kernel, k=k, h=h, w=w, t=t, fill=fill,
-                             nearest=nearest)
-    return pl.pallas_call(
-        kern,
-        grid=(b, c, h // t),
-        in_specs=[
-            pl.BlockSpec((1, t, w), lambda i, j, r: (i, r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, w), lambda i, j, r: (i, r, 0),
-                         memory_space=pltpu.VMEM),
-            # full padded plane; index repeats across r → DMA'd once per
-            # (batch, channel)
-            pl.BlockSpec((1, 1, h + 2 * k + 1, w), lambda i, j, r: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, t, w), lambda i, j, r: (i, j, r, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
-        interpret=interpret,
-    )(dy, dx, padded)
 
 
 def _elastic_joint_kernel(flags_ref, dy_ref, dx_ref, img_ref, out_ref, *,
