@@ -52,6 +52,15 @@ _GEOMETRIC = {"fliplr", "horizontalflip", "flipud", "verticalflip", "rot90",
 _META = {"sometimes", "someof", "oneof"}
 
 
+
+def _percent_arg(args: Any, default: Any) -> Any:
+    """Crop/CropAndPad/Pad percent spec: dict {percent: ...}, bare scalar,
+    or bare range list all mean the per-side fraction distribution."""
+    if isinstance(args, dict):
+        return args.get("percent", default)
+    return default if args is None else args
+
+
 def _sample(rng: Array, spec: Any, b: int, default: float = 0.0) -> Array:
     """Lower one parameter spec to a (B,) float32 sample."""
     if spec is None:
@@ -349,15 +358,13 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                         smax = max(abs(float(v)) for v in flat)
                         mag *= 1.0 + math.tan(math.radians(min(smax, 80.0)))
                 elif name == "crop":
-                    pct = a.get("percent", a if not isinstance(a, dict)
-                                 else [0, 0.1])
+                    pct = _percent_arg(a, [0, 0.1])
                     vals = pct if isinstance(pct, (list, tuple)) else [pct]
                     pmax = max(float(v) for v in vals)
                     mag *= 1.0 / max(1.0 - 2.0 * pmax, 0.1)
                 elif name in ("cropandpad", "pad"):
                     # negative percent crops (zoom-in magnifies disp)
-                    pct = a.get("percent", a if not isinstance(a, dict)
-                                 else [0, 0.1])
+                    pct = _percent_arg(a, [0, 0.1])
                     vals = pct if isinstance(pct, (list, tuple)) else [pct]
                     pmin = min(float(v) for v in vals)
                     if pmin < 0:
@@ -477,8 +484,7 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                     jnp.zeros_like(shy)
                 mats = W.compose(W.shear_about(cx, cy, shx, shy), mats)
             elif name in ("crop",):
-                a = args or {}
-                pct = a.get("percent", a if not isinstance(a, dict) else [0, 0.1])
+                pct = _percent_arg(args, [0, 0.1])
                 k1, k2, k3, k4 = jax.random.split(k, 4)
                 left = _sample(k1, pct, b, 0.0)
                 right = _sample(k2, pct, b, 0.0)
@@ -495,9 +501,7 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                 # fraction — POSITIVE pads (source window grows beyond
                 # the frame, fill outside), NEGATIVE crops; Pad is the
                 # non-negative variant.  src = (1+pl+pr)·x − pl·w.
-                a = args or {}
-                pct = a.get("percent", a if not isinstance(a, dict)
-                            else [0, 0.1])
+                pct = _percent_arg(args, [0, 0.1])
                 k1, k2, k3, k4 = jax.random.split(k, 4)
                 left = _sample(k1, pct, b, 0.0)
                 right = _sample(k2, pct, b, 0.0)

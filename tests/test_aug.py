@@ -308,3 +308,12 @@ class TestCropAndPad:
         imgs, masks = _imgs(h=32, w=32), _masks(h=32, w=32)
         oi, om = _run([("Pad", {"percent": [-0.2, 0.0]})], imgs, masks)
         np.testing.assert_allclose(oi, imgs.astype(np.float32), atol=1e-3)
+
+    def test_scalar_and_list_percent_forms(self):
+        """`Crop: 0.1` and `Crop: [0, 0.1]` (bare scalar/range) are valid
+        imgaug spellings — regression for the dict-only percent parsing."""
+        imgs, masks = _imgs(h=32, w=32), _masks(h=32, w=32)
+        for name, args in [("Crop", 0.1), ("CropAndPad", 0.1),
+                           ("Pad", [0.0, 0.1]), ("Crop", [0.0, 0.1])]:
+            oi, om = _run([(name, args)], imgs, masks)
+            assert oi.shape == imgs.shape and om.shape == masks.shape
