@@ -66,22 +66,6 @@ def main():
     model = create_model(cfg.architecture, cfg.backbone, classes=cfg.classes,
                          dtype=cfg.dtype, remat=remat)
     variables = init_model(model, (H, W, 3), seed=0)
-    tx = build_optimizer(cfg)
-    loss_fn = build_loss(cfg.loss, cfg.activation)
-    aug_fn = build_augmentation(cfg.augmentation)
-    step = build_train_step(model, tx, loss_fn, {}, cfg.activation, "tf",
-                            aug_fn=aug_fn, donate=True)
-
-    state = create_train_state(model, variables, tx)
-    rng = np.random.RandomState(0)
-    import jax as _jax
-
-    images = _jax.device_put(
-        rng.randint(0, 255, (BATCH, H, W, 3), dtype=np.uint8))
-    masks = _jax.device_put((rng.rand(BATCH, H, W, 1) > 0.5).astype(np.float32))
-    batch = {"image": images, "mask": masks}
-    lr = jnp.asarray(1e-3, jnp.float32)
-    key = _jax.random.PRNGKey(0)
 
     if os.environ.get("BENCH_MODE", "device") == "infer":
         # serving-side: flip-TTA fused predict program (InferenceBundle),
@@ -89,6 +73,9 @@ def main():
         # pipeline mode; this is the chip's predict throughput)
         import tempfile
 
+        import jax as _jax
+
+        rng = np.random.RandomState(0)
         from segmentation_training_pipeline_tpu.infer import InferenceBundle
         from segmentation_training_pipeline_tpu.train.checkpoint import (
             save_checkpoint)
@@ -122,6 +109,23 @@ def main():
             "vs_baseline": round(ips / 75.0, 3),
         }))
         return
+
+    tx = build_optimizer(cfg)
+    loss_fn = build_loss(cfg.loss, cfg.activation)
+    aug_fn = build_augmentation(cfg.augmentation)
+    step = build_train_step(model, tx, loss_fn, {}, cfg.activation, "tf",
+                            aug_fn=aug_fn, donate=True)
+
+    state = create_train_state(model, variables, tx)
+    rng = np.random.RandomState(0)
+    import jax as _jax
+
+    images = _jax.device_put(
+        rng.randint(0, 255, (BATCH, H, W, 3), dtype=np.uint8))
+    masks = _jax.device_put((rng.rand(BATCH, H, W, 1) > 0.5).astype(np.float32))
+    batch = {"image": images, "mask": masks}
+    lr = jnp.asarray(1e-3, jnp.float32)
+    key = _jax.random.PRNGKey(0)
 
     if os.environ.get("BENCH_MODE", "device") == "pipeline":
         # end-to-end: PNGs on disk -> native loader -> Prefetcher -> device

@@ -30,15 +30,33 @@ def _rot_grid(size: int, cy: float, cx: float, theta: float):
     return c * y + s * x, -s * y + c * x
 
 
-def _one_item(r: np.random.RandomState, size: int) -> Tuple[np.ndarray, np.ndarray]:
-    # background: base brightness + low-frequency gradient + fine noise
+def _textured_background(r: np.random.RandomState, size: int) -> np.ndarray:
+    """Base brightness + low-frequency gradient + fine noise + channel cast."""
     base = r.uniform(40, 110)
     gy, gx = r.uniform(-30, 30, size=2)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     img = base + gy * yy + gx * xx + r.randn(size, size).astype(np.float32) * 8
     img = np.repeat(img[:, :, None], 3, axis=2)
-    img += r.randn(1, 1, 3).astype(np.float32) * 6  # channel cast
+    img += r.randn(1, 1, 3).astype(np.float32) * 6
+    return img
 
+
+def _maybe_occluder_bar(r: np.random.RandomState, size: int,
+                        img: np.ndarray) -> np.ndarray:
+    """With p=0.6, darken a bar crossing the frame; returns its bool mask
+    (all-False when no bar) so callers can clear it from their labels."""
+    if r.rand() < 0.6:
+        cy, cx = r.uniform(0, size, size=2)
+        theta = r.uniform(0, np.pi)
+        ry, _ = _rot_grid(size, cy, cx, theta)
+        bar = np.abs(ry) < r.uniform(0.015 * size, 0.05 * size)
+        img[bar] *= r.uniform(0.25, 0.5)
+        return bar
+    return np.zeros((size, size), bool)
+
+
+def _one_item(r: np.random.RandomState, size: int) -> Tuple[np.ndarray, np.ndarray]:
+    img = _textured_background(r, size)
     mask = np.zeros((size, size), bool)
     for _ in range(r.randint(1, 4)):
         cy, cx = r.uniform(0.15 * size, 0.85 * size, size=2)
@@ -56,13 +74,7 @@ def _one_item(r: np.random.RandomState, size: int) -> Tuple[np.ndarray, np.ndarr
         mask |= inside
 
     # dark occluder bar crossing the frame — NOT in the mask
-    if r.rand() < 0.6:
-        cy, cx = r.uniform(0, size, size=2)
-        theta = r.uniform(0, np.pi)
-        ry, _ = _rot_grid(size, cy, cx, theta)
-        bar = np.abs(ry) < r.uniform(0.015 * size, 0.05 * size)
-        img[bar] *= r.uniform(0.25, 0.5)
-        mask &= ~bar
+    mask &= ~_maybe_occluder_bar(r, size, img)
 
     img = np.clip(img, 0, 255).astype(np.uint8)
     return img, mask.astype(np.uint8)
@@ -91,18 +103,8 @@ def _background_only(r: np.random.RandomState,
                      size: int) -> Tuple[np.ndarray, np.ndarray]:
     """A negative item: textured background (+ optional occluder bar), no
     foreground shapes, empty mask."""
-    base = r.uniform(40, 110)
-    gy, gx = r.uniform(-30, 30, size=2)
-    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
-    img = base + gy * yy + gx * xx + r.randn(size, size).astype(np.float32) * 8
-    img = np.repeat(img[:, :, None], 3, axis=2)
-    img += r.randn(1, 1, 3).astype(np.float32) * 6
-    if r.rand() < 0.6:
-        cy, cx = r.uniform(0, size, size=2)
-        theta = r.uniform(0, np.pi)
-        ry, _ = _rot_grid(size, cy, cx, theta)
-        bar = np.abs(ry) < r.uniform(0.015 * size, 0.05 * size)
-        img[bar] *= r.uniform(0.25, 0.5)
+    img = _textured_background(r, size)
+    _maybe_occluder_bar(r, size, img)
     img = np.clip(img, 0, 255).astype(np.uint8)
     return img, np.zeros((size, size), np.uint8)
 
@@ -111,13 +113,7 @@ def _one_item_multiclass(r: np.random.RandomState,
                          size: int) -> Tuple[np.ndarray, np.ndarray]:
     """Class-index masks: 0 background, 1 ellipses, 2 rectangles (later
     shapes overwrite earlier — matching 'last drawn wins' semantics)."""
-    base = r.uniform(40, 110)
-    gy, gx = r.uniform(-30, 30, size=2)
-    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
-    img = base + gy * yy + gx * xx + r.randn(size, size).astype(np.float32) * 8
-    img = np.repeat(img[:, :, None], 3, axis=2)
-    img += r.randn(1, 1, 3).astype(np.float32) * 6
-
+    img = _textured_background(r, size)
     mask = np.zeros((size, size), np.uint8)
     for _ in range(r.randint(2, 5)):
         cy, cx = r.uniform(0.15 * size, 0.85 * size, size=2)
@@ -135,14 +131,7 @@ def _one_item_multiclass(r: np.random.RandomState,
         img[inside] += offset + texture[inside, None]
         mask[inside] = 1 if is_ellipse else 2
 
-    if r.rand() < 0.6:
-        cy, cx = r.uniform(0, size, size=2)
-        theta = r.uniform(0, np.pi)
-        ry, _ = _rot_grid(size, cy, cx, theta)
-        bar = np.abs(ry) < r.uniform(0.015 * size, 0.05 * size)
-        img[bar] *= r.uniform(0.25, 0.5)
-        mask[bar] = 0
-
+    mask[_maybe_occluder_bar(r, size, img)] = 0
     return np.clip(img, 0, 255).astype(np.uint8), mask
 
 

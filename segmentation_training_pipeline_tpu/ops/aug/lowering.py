@@ -301,7 +301,12 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
         non-square frames its shear/scale factorization degenerates as
         the rotation approaches 90 deg.  Decide from the STATIC spec:
         square is always fine; non-square is fine iff there is no rot90
-        and the affine rotation range stays well below 90 deg."""
+        and the affine rotation range stays well below 90 deg.  Either
+        way, a static shear bound beyond 2 (rotation + extreme scale
+        anisotropy) exceeds the maximum canvas pad; use the exact
+        footprint gather instead."""
+        if _shear_tan_for(shape_square) > 2.0:
+            return False
         if shape_square:
             return True
         for s in geo:
@@ -381,14 +386,30 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
     _mag_bound = _static_magnification()
 
     def _static_shear_tan() -> float:
-        """Static bound on |tan| of the residual rotation+shear — the
-        multipass shears' per-line displacement is |s|·(dim/2), so this
-        sizes the canvas padding.  Scale/translate/crop/flips contribute
-        no shear (scale divides out of m01/m11); rot90s are extracted
-        before the shears.  Unparseable specs fall back to tan45 = 1
-        (the lossless-for-±45° default, pad_frac 0.5)."""
+        """Static bound on |tan| of the multipass shear factors — the
+        shears' per-line displacement is |s|·(dim/2), so this sizes the
+        canvas padding.  The factorization gives s1 = tan(θ)·(sy/sx)
+        (anisotropy MULTIPLIES the shear, it does not divide out), so the
+        bound is tan(rot+shear) · aniso where aniso covers every op that
+        can scale x and y differently: Affine {x:…, y:…} scale dicts and
+        independently-sampled per-side Crop/CropAndPad fractions.
+        Translate/flips contribute nothing; rot90s are extracted before
+        the shears (square frames — _shear_tan_for caps the residual at
+        45°/60° per frame shape).  Returns (rot+shear degrees, aniso
+        factor); unparseable specs fall back to a conservative (90°,
+        2.0)."""
         rot = 0.0
         shear = 0.0
+        aniso = 1.0
+
+        def _rng(spec, default):
+            vals = (spec if isinstance(spec, (list, tuple)) else [spec])
+            flat = []
+            for v in vals:
+                flat += (list(v) if isinstance(v, (list, tuple)) else [v])
+            flat = [float(v) for v in flat] or [default]
+            return min(flat), max(flat)
+
         try:
             for s in geo_nonelastic:
                 name = s["name"].lower()
@@ -396,33 +417,56 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                 if name == "affine":
                     r = a.get("rotate")
                     if r is not None:
-                        vals = r if isinstance(r, (list, tuple)) else [r]
-                        rot = max(rot, max(abs(float(v)) for v in vals))
+                        rot = max(rot, max(abs(v) for v in _rng(r, 0.0)))
                     sh = a.get("shear")
                     if sh is not None:
-                        vals = (list(sh.values()) if isinstance(sh, dict)
-                                else sh if isinstance(sh, (list, tuple))
-                                else [sh])
-                        flat = []
-                        for v in vals:
-                            flat += (list(v) if isinstance(v, (list, tuple))
-                                     else [v])
-                        shear = max(shear, max(abs(float(v)) for v in flat))
+                        spec = (list(sh.values()) if isinstance(sh, dict)
+                                else sh)
+                        shear = max(shear,
+                                    max(abs(v) for v in _rng(spec, 0.0)))
+                    sc = a.get("scale")
+                    if isinstance(sc, dict):
+                        # only the dict form samples x and y independently
+                        los, his = zip(*(_rng(v, 1.0)
+                                         for v in sc.values()))
+                        lo, hi = min(los), max(his)
+                        if lo > 0:
+                            aniso *= hi / lo
+                elif name in ("crop", "cropandpad", "pad"):
+                    # per-side fractions sample independently → the x/y
+                    # scale factors differ within the percent range
+                    pct = _percent_arg(a, [0, 0.1])
+                    lo, hi = _rng(pct, 0.0)
+                    if name == "crop":
+                        lo, hi = -hi, -lo  # crop percent p shrinks by 2p
+                    if name == "pad":
+                        lo = max(lo, 0.0)
+                    f_lo = max(1.0 + 2.0 * lo, 0.1)
+                    f_hi = max(1.0 + 2.0 * hi, 0.1)
+                    aniso *= f_hi / f_lo
         except (TypeError, ValueError):
-            return 1.0
-        return math.tan(math.radians(min(rot + shear, 45.0)))
+            return 90.0, 2.0
+        return rot + shear, aniso
 
-    _shear_tan = _static_shear_tan()
+    _shear_deg, _shear_aniso = _static_shear_tan()
+
+    def _shear_tan_for(square: bool) -> float:
+        # rot90 extraction caps the residual at 45° on square frames
+        # only; non-square multipass admits rotations up to the 60° gate
+        cap = 45.0 if square else 60.0
+        return math.tan(math.radians(min(_shear_deg, cap))) * _shear_aniso
 
     def _pad_frac(h: int, w: int) -> float:
-        """Canvas pad fraction: content excursion |s|·(dim/2) + margin.
-        Square frames only (non-square skips rot90 extraction, keep the
-        conservative default).  A Fliplr+Affine(rotate ±15°) config drops
-        the canvas from 2·dim to ~1.35·dim — the shear rolls and scale
-        dots shrink proportionally."""
-        if h != w:
-            return 0.5
-        return min(0.5, _shear_tan / 2.0 + 12.0 / max(h, 1))
+        """Canvas pad fraction: content excursion |s|·(dim/2) + margin,
+        capped at 1.0 (a full-dim pad; |s| beyond 2 disables the
+        multipass — see _multipass_ok).  Square frames only (non-square
+        skips rot90 extraction, keep the lossless-for-isotropic default).
+        A Fliplr+Affine(rotate ±15°) config drops the canvas from 2·dim
+        to ~1.35·dim — the shear rolls and scale dots shrink
+        proportionally."""
+        t = _shear_tan_for(h == w)
+        base = 0.5 if h != w else 0.0  # non-square keeps the old floor
+        return min(1.0, max(base, t / 2.0 + 12.0 / max(min(h, w), 1)))
 
     def run(rng: Array, images: Array, masks: Array):
         b, h, w = images.shape[0], images.shape[1], images.shape[2]

@@ -29,8 +29,12 @@ def save_checkpoint(path: str, variables: Dict[str, Any],
         f.write(payload)
     os.replace(tmp, path)  # atomic — a crash never leaves a torn checkpoint
     if meta is not None:
-        with open(path + ".json", "w") as f:
+        # sidecar is atomic too: multi-host peers read it right after the
+        # stage barrier while the primary may still be rewriting it
+        tmp_meta = path + ".json.tmp"
+        with open(tmp_meta, "w") as f:
             json.dump(meta, f, indent=2, default=float)
+        os.replace(tmp_meta, path + ".json")
 
 
 def load_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:

@@ -317,3 +317,40 @@ class TestCropAndPad:
                            ("Pad", [0.0, 0.1]), ("Crop", [0.0, 0.1])]:
             oi, om = _run([(name, args)], imgs, masks)
             assert oi.shape == imgs.shape and om.shape == masks.shape
+
+
+class TestAnisotropicScalePadding:
+    def test_aniso_scale_rotation_content_preserved(self):
+        """s1 = tan(rot)*(sy/sx): anisotropic scale dicts MULTIPLY the
+        shear, so the spec-derived canvas pad must include the anisotropy
+        bound — regression for silent edge-content loss (code review)."""
+        from segmentation_training_pipeline_tpu.ops.aug import (
+            fast_warp as FW)
+
+        r = np.random.RandomState(0)
+        imgs = r.randint(0, 255, (4, 128, 128, 3), np.uint8)
+        masks = (r.rand(4, 128, 128, 1) > 0.5).astype(np.float32)
+        spec = [{"name": "Affine",
+                 "args": {"rotate": [-20, 20],
+                          "scale": {"x": [0.7, 1.3], "y": [0.7, 1.3]}}}]
+        fn = build_augmentation([dict(s) for s in spec])
+        oi, om = jax.jit(fn)(jax.random.PRNGKey(3), jnp.asarray(imgs),
+                             jnp.asarray(masks))
+
+        # lossless reference: force a full-dim pad through the same path
+        orig = FW.warp_joint_multipass
+
+        def padded(*a, **kw):
+            kw["pad_frac"] = 1.0
+            return orig(*a, **kw)
+
+        FW.warp_joint_multipass = padded
+        try:
+            fn2 = build_augmentation([dict(s) for s in spec])
+            ri, rm = jax.jit(fn2)(jax.random.PRNGKey(3), jnp.asarray(imgs),
+                                  jnp.asarray(masks))
+        finally:
+            FW.warp_joint_multipass = orig
+        d = np.abs(np.asarray(oi) - np.asarray(ri))
+        assert (d > 1.0).sum() == 0, f"{(d > 1.0).sum()} px clipped to fill"
+        assert np.mean(np.asarray(om) != np.asarray(rm)) == 0.0
