@@ -85,6 +85,8 @@ for name, aliases in [
     ("LogContrast", ()),
     ("AdditiveGaussianNoise", ()),
     ("GaussianBlur", ()),
+    ("AverageBlur", ()),
+    ("AdditivePoissonNoise", ()),
     ("CoarseDropout", ("Cutout",)),
     ("Grayscale", ()),
     ("Invert", ()),

@@ -868,6 +868,19 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         a = args if not isinstance(args, dict) else args.get("scale", 0.0)
         k1, k2 = jax.random.split(k)
         imgs = ph.gaussian_noise(k2, imgs, _sample(k1, a, b, 0.0))
+    elif name == "averageblur":
+        a = args if not isinstance(args, dict) else args.get("k", 3)
+        try:
+            k_max = (float(a) if isinstance(a, (int, float))
+                     else max(float(v) for v in a))
+        except (TypeError, ValueError):
+            k_max = 7.0
+        radius = int(min(max(1, math.ceil((k_max - 1) / 2)), 64))
+        imgs = ph.average_blur(imgs, _sample(k, a, b, 3.0), radius=radius)
+    elif name == "additivepoissonnoise":
+        a = args if not isinstance(args, dict) else args.get("lam", 1.0)
+        k1, k2 = jax.random.split(k)
+        imgs = ph.additive_poisson_noise(k2, imgs, _sample(k1, a, b, 1.0))
     elif name == "gaussianblur":
         a = args if not isinstance(args, dict) else args.get("sigma", 0.0)
         # static kernel support from the YAML sigma range (imgaug sizes its

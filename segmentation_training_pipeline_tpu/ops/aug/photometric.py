@@ -154,6 +154,41 @@ def gaussian_blur(images: Array, sigma: Array, radius: int = 3) -> Array:
     return jax.vmap(blur_one)(images, k)
 
 
+def average_blur(images: Array, k: Array, radius: int = 3) -> Array:
+    """imgaug AverageBlur: k×k box filter, k (B,) float rounded to the
+    nearest odd ≤ 2·radius+1 (k ≤ 1 is the identity).  Separable — same
+    structure as gaussian_blur, with a per-image 0/1-masked uniform
+    kernel so no data-dependent branch exists."""
+    b, h, w, c = images.shape
+    half = jnp.clip(jnp.floor((k - 1.0) / 2.0 + 0.5), 0, radius)  # (B,)
+    x = jnp.abs(jnp.arange(-radius, radius + 1, dtype=jnp.float32))
+    kern = (x[None, :] <= half[:, None]).astype(jnp.float32)
+    kern = kern / kern.sum(axis=1, keepdims=True)  # (B, K)
+
+    def blur_one(img, kr):
+        pad = jnp.pad(img, ((0, 0), (radius, radius), (0, 0)), mode="reflect")
+        horiz = jax.lax.conv_general_dilated(
+            pad[None], jnp.tile(kr[None, :, None, None], (1, 1, 1, c)),
+            (1, 1), "VALID", feature_group_count=c,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+        pad2 = jnp.pad(horiz, ((radius, radius), (0, 0), (0, 0)), mode="reflect")
+        return jax.lax.conv_general_dilated(
+            pad2[None], jnp.tile(kr[:, None, None, None], (1, 1, 1, c)),
+            (1, 1), "VALID", feature_group_count=c,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+
+    return jax.vmap(blur_one)(images, kern)
+
+
+def additive_poisson_noise(rng: Array, images: Array, lam: Array) -> Array:
+    """imgaug AdditivePoissonNoise: adds Poisson(lam) counts per pixel
+    (always non-negative, per-pixel independent)."""
+    noise = jax.random.poisson(
+        rng, jnp.maximum(lam, 0.0)[:, None, None, None],
+        shape=images.shape).astype(jnp.float32)
+    return images + noise
+
+
 def invert(rng: Array, images: Array, p: Array) -> Array:
     """imgaug Invert: per-image bernoulli(p) 255-v inversion."""
     b = images.shape[0]

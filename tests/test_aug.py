@@ -354,3 +354,31 @@ class TestAnisotropicScalePadding:
         d = np.abs(np.asarray(oi) - np.asarray(ri))
         assert (d > 1.0).sum() == 0, f"{(d > 1.0).sum()} px clipped to fill"
         assert np.mean(np.asarray(om) != np.asarray(rm)) == 0.0
+
+
+class TestBlurAndPoisson:
+    def test_average_blur_k3_matches_numpy_box(self):
+        imgs, masks = _imgs(h=16, w=16), _masks(h=16, w=16)
+        oi, _ = _run([("AverageBlur", 3)], imgs, masks)
+        x = imgs.astype(np.float32)
+        padded = np.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        ref = np.zeros_like(x)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ref += padded[:, 1 + dy:17 + dy, 1 + dx:17 + dx, :]
+        ref /= 9.0
+        np.testing.assert_allclose(oi, np.clip(ref, 0, 255), atol=1e-2)
+
+    def test_average_blur_k1_identity(self):
+        imgs, masks = _imgs(), _masks()
+        oi, _ = _run([("AverageBlur", 1)], imgs, masks)
+        np.testing.assert_allclose(oi, imgs.astype(np.float32), atol=1e-3)
+
+    def test_poisson_noise_statistics(self):
+        imgs = np.full((2, 64, 64, 3), 50, np.uint8)
+        masks = _masks(h=64, w=64)
+        oi, om = _run([("AdditivePoissonNoise", 8.0)], imgs, masks)
+        delta = oi - 50.0
+        assert delta.min() >= 0.0          # Poisson adds, never subtracts
+        assert abs(delta.mean() - 8.0) < 0.5   # E[Poisson(8)] = 8
+        np.testing.assert_array_equal(om, masks)
