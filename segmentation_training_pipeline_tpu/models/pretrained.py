@@ -22,6 +22,7 @@ that ingests weights **when a file is available** (SURVEY §7 hard part 1):
 from __future__ import annotations
 
 import os
+import re
 import warnings
 from typing import Any, Dict, Optional, Tuple
 
@@ -298,6 +299,76 @@ def _load_npz_into(path: str, params_enc, stats_enc):
 
 
 # ---------------------------------------------------------------------------
+# torchvision-vgg naming → our VGGEncoder tree
+# (torchvision `vgg16`/`vgg16_bn`/`vgg19(_bn)` state dicts: a flat
+#  `features.{i}.*` Sequential — convs and BNs are matched POSITIONALLY to
+#  the encoder's stage{s}_conv{c}/stage{s}_bn{c} layout, which is robust
+#  to the index gaps maxpool/relu entries introduce.)
+# ---------------------------------------------------------------------------
+
+def convert_torch_vgg(state: Dict[str, Any],
+                      params_enc: Dict[str, Any],
+                      stats_enc: Dict[str, Any]):
+    """Fill VGGEncoder params/batch_stats from a torchvision-style vgg
+    state dict.  Plain (norm-free) vgg fills convs only — the encoder's
+    BN layers keep their init (identity scale, unit var); _bn variants
+    fill BN parameters and running stats too."""
+    new_p = jax_to_np(params_enc)
+    new_s = jax_to_np(stats_enc)
+
+    idx_of = {}
+    for key in state:
+        m = re.match(r"features\.(\d+)\.weight$", key)
+        if m:
+            idx_of[int(m.group(1))] = key
+    conv_idx = sorted(i for i in idx_of
+                      if np.asarray(state[idx_of[i]]).ndim == 4)
+    bn_idx = sorted(i for i in idx_of
+                    if np.asarray(state[idx_of[i]]).ndim == 1
+                    and f"features.{i}.running_mean" in state)
+    if not conv_idx:
+        raise PretrainedWeightsError(
+            "state dict has no features.N conv tensors — not a vgg?")
+
+    targets = []  # (conv_name, bn_name) in encoder order
+    stage = 1
+    while f"stage{stage}_conv1" in new_p:
+        c = 1
+        while f"stage{stage}_conv{c}" in new_p:
+            targets.append((f"stage{stage}_conv{c}", f"stage{stage}_bn{c}"))
+            c += 1
+        stage += 1
+    if len(conv_idx) != len(targets):
+        raise PretrainedWeightsError(
+            f"vgg depth mismatch: state dict has {len(conv_idx)} convs, "
+            f"encoder expects {len(targets)} (wrong vgg16/vgg19 variant?)")
+    if bn_idx and len(bn_idx) != len(targets):
+        raise PretrainedWeightsError(
+            f"vgg BN count mismatch: {len(bn_idx)} vs {len(targets)}")
+
+    for ti, (conv_name, bn_name) in enumerate(targets):
+        ck = idx_of[conv_idx[ti]]
+        bias_key = ck[:-len("weight")] + "bias"
+        _put_conv(state, new_p[conv_name], ck,
+                  bias_key if "bias" in new_p[conv_name]
+                  and bias_key in state else None)
+        if bn_idx and bn_name in new_p:
+            _put_bn(state, new_p[bn_name], new_s[bn_name],
+                    f"features.{bn_idx[ti]}")
+        elif bias_key in state and "bias" not in new_p[conv_name]:
+            # plain (norm-free) vgg: the encoder's conv is bias-less (BN
+            # follows) — fold the torch conv bias into the identity-init
+            # BN as running mean −b, which reproduces x+b exactly
+            b = np.asarray(state[bias_key])
+            tgt = new_s[bn_name]["mean"]
+            if tuple(tgt.shape) != b.shape:
+                raise PretrainedWeightsError(
+                    f"{bias_key}: shape {b.shape} != {tuple(tgt.shape)}")
+            new_s[bn_name]["mean"] = (-b).astype(tgt.dtype)
+    return new_p, new_s
+
+
+# ---------------------------------------------------------------------------
 # entry point
 # ---------------------------------------------------------------------------
 
@@ -345,11 +416,13 @@ def load_encoder_weights(backbone: str, spec: str,
         elif backbone == "mobilenetv2":
             new_p, new_s = convert_torch_mobilenetv2(state, params_enc,
                                                      stats_enc)
+        elif backbone.startswith("vgg"):
+            new_p, new_s = convert_torch_vgg(state, params_enc, stats_enc)
         else:
             raise PretrainedWeightsError(
                 f"torch-format conversion implemented for resnet/seresnet, "
-                f"efficientnetb0-7 and mobilenetv2; got backbone "
-                f"{backbone!r} (use npz export instead)")
+                f"efficientnetb0-7, mobilenetv2 and vgg16/19(_bn); got "
+                f"backbone {backbone!r} (use npz export instead)")
     else:
         raise PretrainedWeightsError(
             f"unsupported weights format: {path} (want .pt/.pth/.npz)")

@@ -302,3 +302,104 @@ class TestMobileNetV2Convert:
         state["features.0.0.weight"] = np.zeros((31, 3, 3, 3), np.float32)
         with pytest.raises(PretrainedWeightsError, match="features.0.0"):
             convert_torch_mobilenetv2(state, p, s)
+
+
+class TestVGGConvert:
+    @pytest.fixture(scope="class")
+    def vgg16_vars(self):
+        m = create_model("Unet", "vgg16", classes=1, dtype="float32")
+        return jax.device_get(init_model(m, (32, 32, 3), seed=0))
+
+    @staticmethod
+    def _synthetic_torch_vgg(params_enc, with_bn=True, seed=3):
+        """torchvision-style flat features.N Sequential with the encoder's
+        shapes (conv, [bn], relu per conv; maxpool gaps between stages)."""
+        r = np.random.RandomState(seed)
+        state = {}
+        i = 0
+        stage = 1
+        while f"stage{stage}_conv1" in params_enc:
+            c = 1
+            while f"stage{stage}_conv{c}" in params_enc:
+                kern = params_enc[f"stage{stage}_conv{c}"]["kernel"]
+                state[f"features.{i}.weight"] = np.transpose(
+                    r.randn(*kern.shape).astype(np.float32), (3, 2, 0, 1))
+                i += 1
+                if with_bn:
+                    n = kern.shape[-1]
+                    state[f"features.{i}.weight"] = r.rand(n).astype(
+                        np.float32) + 0.5
+                    state[f"features.{i}.bias"] = r.randn(n).astype(
+                        np.float32)
+                    state[f"features.{i}.running_mean"] = r.randn(n).astype(
+                        np.float32)
+                    state[f"features.{i}.running_var"] = r.rand(n).astype(
+                        np.float32) + 0.5
+                    i += 1
+                i += 1  # relu
+                c += 1
+            i += 1  # maxpool
+            stage += 1
+        return state
+
+    def test_bn_variant_values_land(self, vgg16_vars):
+        from segmentation_training_pipeline_tpu.models.pretrained import (
+            convert_torch_vgg)
+
+        p = vgg16_vars["params"]["encoder"]
+        s = vgg16_vars["batch_stats"]["encoder"]
+        state = self._synthetic_torch_vgg(p, with_bn=True)
+        new_p, new_s = convert_torch_vgg(state, p, s)
+        want = np.transpose(state["features.0.weight"], (2, 3, 1, 0))
+        np.testing.assert_array_equal(new_p["stage1_conv1"]["kernel"], want)
+        np.testing.assert_array_equal(
+            new_s["stage1_bn1"]["mean"], state["features.1.running_mean"])
+        # last conv of stage 5 also landed
+        assert not np.array_equal(
+            new_p["stage5_conv3"]["kernel"],
+            np.asarray(p["stage5_conv3"]["kernel"]))
+
+    def test_plain_vgg_fills_convs_only(self, vgg16_vars):
+        from segmentation_training_pipeline_tpu.models.pretrained import (
+            convert_torch_vgg)
+
+        p = vgg16_vars["params"]["encoder"]
+        s = vgg16_vars["batch_stats"]["encoder"]
+        state = self._synthetic_torch_vgg(p, with_bn=False)
+        new_p, new_s = convert_torch_vgg(state, p, s)
+        want = np.transpose(state["features.0.weight"], (2, 3, 1, 0))
+        np.testing.assert_array_equal(new_p["stage1_conv1"]["kernel"], want)
+        # BN untouched (identity init preserved)
+        np.testing.assert_array_equal(new_p["stage1_bn1"]["scale"],
+                                      np.asarray(p["stage1_bn1"]["scale"]))
+
+    def test_depth_mismatch_raises(self, vgg16_vars):
+        from segmentation_training_pipeline_tpu.models.pretrained import (
+            convert_torch_vgg)
+
+        p = vgg16_vars["params"]["encoder"]
+        s = vgg16_vars["batch_stats"]["encoder"]
+        state = self._synthetic_torch_vgg(p, with_bn=True)
+        # drop the last conv -> vgg16 state no longer matches
+        last = max(int(k.split(".")[1]) for k in state
+                   if k.endswith(".weight")
+                   and np.asarray(state[k]).ndim == 4)
+        del state[f"features.{last}.weight"]
+        with pytest.raises(PretrainedWeightsError):
+            convert_torch_vgg(state, p, s)
+
+    def test_imagenet_resolution_via_pt(self, vgg16_vars, tmp_path,
+                                        monkeypatch):
+        torch = pytest.importorskip("torch")
+        p = vgg16_vars["params"]["encoder"]
+        state = {k: torch.from_numpy(np.asarray(v))
+                 for k, v in self._synthetic_torch_vgg(p).items()}
+        root = tmp_path / "pre"
+        root.mkdir()
+        torch.save(state, str(root / "vgg16.pt"))
+        monkeypatch.setenv("STP_PRETRAINED_DIR", str(root))
+        out = load_encoder_weights("vgg16", "imagenet", vgg16_vars)
+        assert out is not None
+        want = np.transpose(state["features.0.weight"].numpy(), (2, 3, 1, 0))
+        np.testing.assert_array_equal(
+            out["params"]["encoder"]["stage1_conv1"]["kernel"], want)
