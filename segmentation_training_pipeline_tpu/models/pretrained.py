@@ -299,6 +299,53 @@ def _load_npz_into(path: str, params_enc, stats_enc):
 
 
 # ---------------------------------------------------------------------------
+# torchvision-densenet naming → our DenseNetEncoder tree
+# (`features.conv0/norm0`, `features.denseblock{b}.denselayer{l}.
+#  norm1/conv1/norm2/conv2`, `features.transition{b}.norm/conv`,
+#  `features.norm5` — a direct 1:1 mapping.)
+# ---------------------------------------------------------------------------
+
+def convert_torch_densenet(state: Dict[str, Any],
+                           params_enc: Dict[str, Any],
+                           stats_enc: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    new_p = jax_to_np(params_enc)
+    new_s = jax_to_np(stats_enc)
+
+    _put_conv(state, new_p["stem_conv"], "features.conv0.weight")
+    _put_bn(state, new_p["stem_bn"], new_s["stem_bn"], "features.norm0")
+
+    for b in range(1, 5):
+        li = 1
+        while f"block{b}_layer{li}" in new_p:
+            src = f"features.denseblock{b}.denselayer{li}"
+            if f"{src}.conv1.weight" not in state:
+                raise PretrainedWeightsError(
+                    f"state dict missing {src} — depth mismatch (wrong "
+                    "densenet variant?)")
+            blk_p = new_p[f"block{b}_layer{li}"]
+            blk_s = new_s[f"block{b}_layer{li}"]
+            _put_bn(state, blk_p["bn1"], blk_s["bn1"], f"{src}.norm1")
+            _put_conv(state, blk_p["conv1"], f"{src}.conv1.weight")
+            _put_bn(state, blk_p["bn2"], blk_s["bn2"], f"{src}.norm2")
+            _put_conv(state, blk_p["conv2"], f"{src}.conv2.weight")
+            li += 1
+        if li == 1:
+            raise PretrainedWeightsError(
+                f"encoder has no block{b} layers — not a densenet?")
+        if f"features.denseblock{b}.denselayer{li}.conv1.weight" in state:
+            raise PretrainedWeightsError(
+                f"state dict has denseblock{b}.denselayer{li} beyond the "
+                "encoder's depth — wrong densenet variant?")
+        if b < 4:
+            _put_bn(state, new_p[f"trans{b}_bn"], new_s[f"trans{b}_bn"],
+                    f"features.transition{b}.norm")
+            _put_conv(state, new_p[f"trans{b}_conv"],
+                      f"features.transition{b}.conv.weight")
+    _put_bn(state, new_p["final_bn"], new_s["final_bn"], "features.norm5")
+    return new_p, new_s
+
+
+# ---------------------------------------------------------------------------
 # torchvision-vgg naming → our VGGEncoder tree
 # (torchvision `vgg16`/`vgg16_bn`/`vgg19(_bn)` state dicts: a flat
 #  `features.{i}.*` Sequential — convs and BNs are matched POSITIONALLY to
@@ -418,11 +465,15 @@ def load_encoder_weights(backbone: str, spec: str,
                                                      stats_enc)
         elif backbone.startswith("vgg"):
             new_p, new_s = convert_torch_vgg(state, params_enc, stats_enc)
+        elif backbone.startswith("densenet"):
+            new_p, new_s = convert_torch_densenet(state, params_enc,
+                                                  stats_enc)
         else:
             raise PretrainedWeightsError(
                 f"torch-format conversion implemented for resnet/seresnet, "
-                f"efficientnetb0-7, mobilenetv2 and vgg16/19(_bn); got "
-                f"backbone {backbone!r} (use npz export instead)")
+                f"efficientnetb0-7, mobilenetv2, vgg16/19(_bn) and "
+                f"densenet121/169/201; got backbone {backbone!r} "
+                f"(use npz export instead)")
     else:
         raise PretrainedWeightsError(
             f"unsupported weights format: {path} (want .pt/.pth/.npz)")

@@ -403,3 +403,77 @@ class TestVGGConvert:
         want = np.transpose(state["features.0.weight"].numpy(), (2, 3, 1, 0))
         np.testing.assert_array_equal(
             out["params"]["encoder"]["stage1_conv1"]["kernel"], want)
+
+
+class TestDenseNetConvert:
+    @pytest.fixture(scope="class")
+    def d121_vars(self):
+        m = create_model("Unet", "densenet121", classes=1, dtype="float32")
+        return jax.device_get(init_model(m, (32, 32, 3), seed=0))
+
+    @staticmethod
+    def _synthetic_torch_densenet(params_enc, seed=5):
+        r = np.random.RandomState(seed)
+        state = {}
+
+        def conv(key, kern):
+            state[key] = np.transpose(
+                r.randn(*np.asarray(kern).shape).astype(np.float32),
+                (3, 2, 0, 1))
+
+        def bn(prefix, n):
+            state[prefix + ".weight"] = r.rand(n).astype(np.float32) + 0.5
+            state[prefix + ".bias"] = r.randn(n).astype(np.float32)
+            state[prefix + ".running_mean"] = r.randn(n).astype(np.float32)
+            state[prefix + ".running_var"] = r.rand(n).astype(np.float32) + 0.5
+
+        conv("features.conv0.weight", params_enc["stem_conv"]["kernel"])
+        bn("features.norm0", params_enc["stem_conv"]["kernel"].shape[-1])
+        for b in range(1, 5):
+            li = 1
+            while f"block{b}_layer{li}" in params_enc:
+                blk = params_enc[f"block{b}_layer{li}"]
+                src = f"features.denseblock{b}.denselayer{li}"
+                bn(src + ".norm1", blk["conv1"]["kernel"].shape[-2])
+                conv(src + ".conv1.weight", blk["conv1"]["kernel"])
+                bn(src + ".norm2", blk["conv2"]["kernel"].shape[-2])
+                conv(src + ".conv2.weight", blk["conv2"]["kernel"])
+                li += 1
+            if b < 4:
+                t = params_enc[f"trans{b}_conv"]["kernel"]
+                bn(f"features.transition{b}.norm", np.asarray(t).shape[-2])
+                conv(f"features.transition{b}.conv.weight", t)
+        # final_bn width = C5 channels
+        nf = np.asarray(
+            params_enc["final_bn"]["scale"]).shape[0]
+        bn("features.norm5", nf)
+        return state
+
+    def test_values_land(self, d121_vars):
+        from segmentation_training_pipeline_tpu.models.pretrained import (
+            convert_torch_densenet)
+
+        p = d121_vars["params"]["encoder"]
+        s = d121_vars["batch_stats"]["encoder"]
+        state = self._synthetic_torch_densenet(p)
+        new_p, new_s = convert_torch_densenet(state, p, s)
+        want = np.transpose(state["features.conv0.weight"], (2, 3, 1, 0))
+        np.testing.assert_array_equal(new_p["stem_conv"]["kernel"], want)
+        np.testing.assert_array_equal(
+            new_s["block2_layer3"]["bn1"]["mean"],
+            state["features.denseblock2.denselayer3.norm1.running_mean"])
+        np.testing.assert_array_equal(
+            new_s["final_bn"]["var"], state["features.norm5.running_var"])
+
+    def test_depth_mismatch_raises(self, d121_vars):
+        from segmentation_training_pipeline_tpu.models.pretrained import (
+            convert_torch_densenet)
+
+        p = d121_vars["params"]["encoder"]
+        s = d121_vars["batch_stats"]["encoder"]
+        state = self._synthetic_torch_densenet(p)
+        # an extra layer -> looks like a deeper densenet
+        state["features.denseblock4.denselayer17.conv1.weight"] = \
+            state["features.denseblock4.denselayer16.conv1.weight"]
+        with pytest.raises(PretrainedWeightsError):
+            convert_torch_densenet(state, p, s)
