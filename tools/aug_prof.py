@@ -1,46 +1,23 @@
 """Component timing for the FULL-aug path at bench shapes.
 
 Times each piece of the geometric pipeline separately on the real chip so
-kernel-fusion work targets the actual hot spot (PERF.md round-2 open lead:
-tiled single-sweep warp).  Usage:  python tools/aug_prof.py [B] [H]
+kernel-fusion work targets the actual hot spot.  Results feed PERF.md.
+Usage:  python tools/aug_prof.py [B] [H]
 """
 
-import os
 import sys
-import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/stp_xla_cache"))
+from _util import enable_compile_cache, timeit
 
-import jax
-import jax.numpy as jnp
+enable_compile_cache()
 
-try:
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.expanduser("~/.cache/stp_xla_cache"))
-except Exception:
-    pass
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 H = W = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-
-
-def timeit(name, fn, *args, n=5):
-    out = fn(*args)
-    # chain a value fetch so the timing covers the real computation
-    # (block_until_ready returns early on the axon backend)
-    jax.device_get(jax.tree.leaves(out)[0][:1, :1])
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.device_get(jax.tree.leaves(out)[0][:1, :1])
-    dt = (time.perf_counter() - t0) / n * 1000
-    print(f"{name:45s} {dt:8.2f} ms")
-    return dt
 
 
 def main():

@@ -4,40 +4,20 @@ Usage: python tools/warp_bench.py [B] [H] [mode]
   mode: both | fused | unfused   (default both)
 """
 
-import os
 import sys
-import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/stp_xla_cache"))
+from _util import enable_compile_cache, timeit
 
-import jax
-import jax.numpy as jnp
+enable_compile_cache()
 
-try:
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/stp_xla_cache"))
-except Exception:
-    pass
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 H = W = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 MODE = sys.argv[3] if len(sys.argv) > 3 else "both"
-
-
-def timeit(name, fn, *args, n=5):
-    out = fn(*args)
-    jax.device_get(jax.tree.leaves(out)[0][:1, :1, :1])
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.device_get(jax.tree.leaves(out)[0][:1, :1, :1])
-    dt = (time.perf_counter() - t0) / n * 1000
-    print(f"{name:40s} {dt:8.2f} ms", flush=True)
-    return dt
 
 
 def main():
@@ -58,12 +38,12 @@ def main():
         unfused = jax.jit(lambda i, m, a: FW.warp_joint_multipass(
             i, m, a, fused=False))
         timeit("warp unfused (3-pass + transposes)", unfused, imgs, msks,
-               mats)
+               mats, width=40)
     if MODE in ("both", "fused"):
         fused = jax.jit(lambda i, m, a: FW.warp_joint_multipass(
             i, m, a, fused=True))
         timeit("warp FUSED (2 kernels, no transposes)", fused, imgs, msks,
-               mats)
+               mats, width=40)
 
 
 if __name__ == "__main__":
