@@ -97,3 +97,27 @@ def test_single_process_bootstrap_noop():
     assert dist.maybe_initialize(force=False) is False
     assert dist.process_count() == 1
     assert dist.is_primary() is True
+
+
+def test_fit_pipeline_on_hosts_mesh(tmp_path, toy_ds):
+    """End-to-end fit through the stage runner with a hosts-annotated
+    mesh: exercises the primary-process IO gating + barrier code path
+    (single-process: is_primary() is True, barrier is skipped)."""
+    import os
+
+    import segmentation_training_pipeline_tpu as stp
+
+    cfg = stp.parse_dict(dict(
+        architecture="Unet", backbone="resnet18", shape=[32, 32, 3],
+        classes=1, batch=8, folds_count=2, dtype="float32",
+        metrics=["iou"], primary_metric="val_iou",
+        mesh={"hosts": 2, "data": 4, "space": 2},
+        stages=[{"epochs": 1}]), directory=str(tmp_path))
+    res = cfg.fit(toy_ds, foldsToExecute=[0], verbose=0)
+    assert "fold0.stage0" in res
+    assert os.path.exists(os.path.join(str(tmp_path), "weights",
+                                       "best-0.0.weights"))
+    assert os.path.exists(os.path.join(str(tmp_path), "weights",
+                                       "best-0.0.weights.json"))
+    assert os.path.exists(os.path.join(str(tmp_path), "metrics",
+                                       "metrics-0.0.csv"))
