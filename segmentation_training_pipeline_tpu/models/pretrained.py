@@ -308,6 +308,17 @@ def _load_npz_into(path: str, params_enc, stats_enc):
 def convert_torch_densenet(state: Dict[str, Any],
                            params_enc: Dict[str, Any],
                            stats_enc: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    # the canonical downloadable torchvision .pth files use LEGACY dotted
+    # layer names (denselayer1.norm.1.weight); torchvision renames them on
+    # load with exactly this regex — accept both spellings
+    pat = re.compile(
+        r"^(.*denselayer\d+\.(?:norm|relu|conv))\.((?:[12])\.(?:weight|bias|"
+        r"running_mean|running_var))$")
+    state = {
+        (pat.sub(lambda m: m.group(1) + m.group(2), k)
+         if pat.match(k) else k): v
+        for k, v in state.items()
+    }
     new_p = jax_to_np(params_enc)
     new_s = jax_to_np(stats_enc)
 
@@ -402,16 +413,18 @@ def convert_torch_vgg(state: Dict[str, Any],
         if bn_idx and bn_name in new_p:
             _put_bn(state, new_p[bn_name], new_s[bn_name],
                     f"features.{bn_idx[ti]}")
-        elif bias_key in state and "bias" not in new_p[conv_name]:
-            # plain (norm-free) vgg: the encoder's conv is bias-less (BN
-            # follows) — fold the torch conv bias into the identity-init
-            # BN as running mean −b, which reproduces x+b exactly
+        if bias_key in state and "bias" not in new_p[conv_name]:
+            # The encoder's conv is bias-less (BN follows), but torchvision
+            # vgg convs carry a bias in BOTH variants (vgg16_bn's BN stats
+            # were computed on Wx+b).  Fold it into the BN running mean:
+            # (x + b − mean)·γ/σ + β == (x − (mean − b))·γ/σ + β exactly.
             b = np.asarray(state[bias_key])
             tgt = new_s[bn_name]["mean"]
             if tuple(tgt.shape) != b.shape:
                 raise PretrainedWeightsError(
                     f"{bias_key}: shape {b.shape} != {tuple(tgt.shape)}")
-            new_s[bn_name]["mean"] = (-b).astype(tgt.dtype)
+            new_s[bn_name]["mean"] = (
+                np.asarray(new_s[bn_name]["mean"]) - b).astype(tgt.dtype)
     return new_p, new_s
 
 

@@ -296,16 +296,18 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
             return False
         return shape_square or "rot90" not in names
 
-    def _multipass_ok(shape_square: bool) -> bool:
+    def _multipass_ok(h: int, w: int) -> bool:
         """The 3-pass warp extracts rot90s only on square frames; on
         non-square frames its shear/scale factorization degenerates as
         the rotation approaches 90 deg.  Decide from the STATIC spec:
         square is always fine; non-square is fine iff there is no rot90
         and the affine rotation range stays well below 90 deg.  Either
-        way, a static shear bound beyond 2 (rotation + extreme scale
-        anisotropy) exceeds the maximum canvas pad; use the exact
-        footprint gather instead."""
-        if _shear_tan_for(shape_square) > 2.0:
+        way, a static shear bound whose excursion + interpolation margin
+        exceeds the maximum (full-dim) canvas pad means the multipass
+        would clip content — use the exact footprint gather instead."""
+        shape_square = h == w
+        # pad cap is 1.0 = t/2 + 12/dim at t == 2 − 24/dim (see _pad_frac)
+        if _shear_tan_for(shape_square) > 2.0 - 24.0 / max(min(h, w), 13):
             return False
         if shape_square:
             return True
@@ -401,42 +403,40 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
         rot = 0.0
         shear = 0.0
         aniso = 1.0
-
-        def _rng(spec, default):
-            vals = (spec if isinstance(spec, (list, tuple)) else [spec])
-            flat = []
-            for v in vals:
-                flat += (list(v) if isinstance(v, (list, tuple)) else [v])
-            flat = [float(v) for v in flat] or [default]
-            return min(flat), max(flat)
-
         try:
             for s in geo_nonelastic:
                 name = s["name"].lower()
                 a = s.get("args") or {}
                 if name == "affine":
+                    # STACKED Affine ops compose: rotations/shears ADD
                     r = a.get("rotate")
                     if r is not None:
-                        rot = max(rot, max(abs(v) for v in _rng(r, 0.0)))
+                        rot += max(abs(v) for v in _static_bounds(r, 0.0))
                     sh = a.get("shear")
                     if sh is not None:
                         spec = (list(sh.values()) if isinstance(sh, dict)
                                 else sh)
-                        shear = max(shear,
-                                    max(abs(v) for v in _rng(spec, 0.0)))
+                        shear += max(abs(v)
+                                     for v in _static_bounds(spec, 0.0))
                     sc = a.get("scale")
                     if isinstance(sc, dict):
-                        # only the dict form samples x and y independently
-                        los, his = zip(*(_rng(v, 1.0)
-                                         for v in sc.values()))
+                        # only the dict form samples x and y independently;
+                        # a MISSING axis defaults to 1.0 at runtime
+                        # (_sample_xy), so 1.0 joins the range
+                        los, his = zip(*(_static_bounds(sc.get(ax), 1.0)
+                                         for ax in ("x", "y")))
                         lo, hi = min(los), max(his)
-                        if lo > 0:
+                        if lo <= 0:
+                            # degenerate zoom: sy/sx is unbounded — force
+                            # the exact-gather path via the multipass gate
+                            aniso = math.inf
+                        else:
                             aniso *= hi / lo
                 elif name in ("crop", "cropandpad", "pad"):
                     # per-side fractions sample independently → the x/y
                     # scale factors differ within the percent range
                     pct = _percent_arg(a, [0, 0.1])
-                    lo, hi = _rng(pct, 0.0)
+                    lo, hi = _static_bounds(pct, 0.0)
                     if name == "crop":
                         lo, hi = -hi, -lo  # crop percent p shrinks by 2p
                     if name == "pad":
@@ -452,9 +452,13 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
 
     def _shear_tan_for(square: bool) -> float:
         # rot90 extraction caps the residual at 45° on square frames
-        # only; non-square multipass admits rotations up to the 60° gate
+        # only; non-square multipass admits rotations up to the 60° gate.
+        # tan == 0 (no rotation/shear anywhere) means s1 == s2 == 0 for
+        # ANY anisotropy (diagonal matrices compose diagonally) — also
+        # sidesteps 0·inf for degenerate scale specs.
         cap = 45.0 if square else 60.0
-        return math.tan(math.radians(min(_shear_deg, cap))) * _shear_aniso
+        t = math.tan(math.radians(min(_shear_deg, cap)))
+        return t * _shear_aniso if t > 0.0 else 0.0
 
     def _pad_frac(h: int, w: int) -> float:
         """Canvas pad fraction: content excursion |s|·(dim/2) + margin,
@@ -582,16 +586,8 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                 sigma = _sample(k2, a.get("sigma", 5.0), b)
                 # static (host) reductions of the YAML ranges — these run
                 # under jit tracing, so plain Python only (no jnp)
-                def _bounds(spec, default):
-                    if spec is None:
-                        spec = default
-                    if isinstance(spec, (int, float)):
-                        return float(spec), float(spec)
-                    vals = [float(v) for v in np.asarray(spec).ravel()]
-                    return min(vals), max(vals)
-
-                _, a_max = _bounds(a.get("alpha"), 20.0)
-                sig_min, sig_max = _bounds(a.get("sigma"), 5.0)
+                _, a_max = _static_bounds(a.get("alpha"), 20.0)
+                sig_min, sig_max = _static_bounds(a.get("sigma"), 5.0)
                 radius = int(max(4, 2 * sig_max))
                 # static 6-sigma displacement bound for the Pallas kernel:
                 # smoothed-noise std ≈ alpha / (2·sqrt(pi)·sigma)
@@ -632,12 +628,12 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
             # bound scaled by the forward affine's static magnification
             # (D' = A₂ₓ₂⁻¹·D grows with zoom-in) + a safety margin
             kbound = int(math.ceil(disp_bound * _mag_bound * 1.15)) + 2
-            if disp is None and _multipass_ok(h == w):
+            if disp is None and _multipass_ok(h, w):
                 # pure affine: gather-free multi-pass warp (rolls + MXU
                 # matmuls) — ~10x cheaper than the HBM footprint gather
                 imgs, masks = FW.warp_joint_multipass(
                     imgs, masks, mats, pad_frac=_pad_frac(h, w))
-            elif (disp is not None and _multipass_ok(h == w)
+            elif (disp is not None and _multipass_ok(h, w)
                   and kbound <= 64 and _use_pallas_elastic()):
                 # affine + bounded elastic: the residual displacement
                 # after the affine pass is D' = A₂ₓ₂⁻¹ · D

@@ -129,29 +129,35 @@ def grayscale(images: Array, alpha: Array) -> Array:
     return (1.0 - a) * images + a * lum
 
 
+def _separable_filter(images, kern, radius: int):
+    """Apply a per-image separable 1-D kernel (B, K) along x then y with
+    reflect padding (shared by gaussian_blur / average_blur)."""
+    c = images.shape[-1]
+
+    def one(img, kr):  # img (H, W, C), kr (K,)
+        pad = jnp.pad(img, ((0, 0), (radius, radius), (0, 0)), mode="reflect")
+        horiz = jax.lax.conv_general_dilated(
+            pad[None], jnp.tile(kr[None, :, None, None], (1, 1, 1, c)),
+            (1, 1), "VALID", feature_group_count=c,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+        pad2 = jnp.pad(horiz, ((radius, radius), (0, 0), (0, 0)),
+                       mode="reflect")
+        return jax.lax.conv_general_dilated(
+            pad2[None], jnp.tile(kr[:, None, None, None], (1, 1, 1, c)),
+            (1, 1), "VALID", feature_group_count=c,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+
+    return jax.vmap(one)(images, kern)
+
+
 def gaussian_blur(images: Array, sigma: Array, radius: int = 3) -> Array:
     """Separable per-image gaussian blur; sigma (B,).  sigma≈0 degenerates
     to (numerically) the identity kernel, so 'no blur' costs only the fused
     conv — no data-dependent branch."""
-    b, h, w, c = images.shape
     x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     k = jnp.exp(-0.5 * (x[None, :] / jnp.maximum(sigma[:, None], 1e-3)) ** 2)
     k = k / k.sum(axis=1, keepdims=True)  # (B, K)
-
-    def blur_one(img, kern):  # img (H, W, C)
-        pad = jnp.pad(img, ((0, 0), (radius, radius), (0, 0)), mode="reflect")
-        horiz = jax.lax.conv_general_dilated(
-            pad[None], jnp.tile(kern[None, :, None, None], (1, 1, 1, c)),
-            (1, 1), "VALID", feature_group_count=c,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
-        pad2 = jnp.pad(horiz, ((radius, radius), (0, 0), (0, 0)), mode="reflect")
-        vert = jax.lax.conv_general_dilated(
-            pad2[None], jnp.tile(kern[:, None, None, None], (1, 1, 1, c)),
-            (1, 1), "VALID", feature_group_count=c,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
-        return vert
-
-    return jax.vmap(blur_one)(images, k)
+    return _separable_filter(images, k, radius)
 
 
 def average_blur(images: Array, k: Array, radius: int = 3) -> Array:
@@ -159,25 +165,11 @@ def average_blur(images: Array, k: Array, radius: int = 3) -> Array:
     nearest odd ≤ 2·radius+1 (k ≤ 1 is the identity).  Separable — same
     structure as gaussian_blur, with a per-image 0/1-masked uniform
     kernel so no data-dependent branch exists."""
-    b, h, w, c = images.shape
     half = jnp.clip(jnp.floor((k - 1.0) / 2.0 + 0.5), 0, radius)  # (B,)
     x = jnp.abs(jnp.arange(-radius, radius + 1, dtype=jnp.float32))
     kern = (x[None, :] <= half[:, None]).astype(jnp.float32)
     kern = kern / kern.sum(axis=1, keepdims=True)  # (B, K)
-
-    def blur_one(img, kr):
-        pad = jnp.pad(img, ((0, 0), (radius, radius), (0, 0)), mode="reflect")
-        horiz = jax.lax.conv_general_dilated(
-            pad[None], jnp.tile(kr[None, :, None, None], (1, 1, 1, c)),
-            (1, 1), "VALID", feature_group_count=c,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
-        pad2 = jnp.pad(horiz, ((radius, radius), (0, 0), (0, 0)), mode="reflect")
-        return jax.lax.conv_general_dilated(
-            pad2[None], jnp.tile(kr[:, None, None, None], (1, 1, 1, c)),
-            (1, 1), "VALID", feature_group_count=c,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
-
-    return jax.vmap(blur_one)(images, kern)
+    return _separable_filter(images, kern, radius)
 
 
 def additive_poisson_noise(rng: Array, images: Array, lam: Array) -> Array:

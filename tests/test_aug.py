@@ -382,3 +382,64 @@ class TestBlurAndPoisson:
         assert delta.min() >= 0.0          # Poisson adds, never subtracts
         assert abs(delta.mean() - 8.0) < 0.5   # E[Poisson(8)] = 8
         np.testing.assert_array_equal(om, masks)
+
+    def test_single_axis_scale_dict_includes_implicit_one(self):
+        """scale: {x: [0.55, 0.8]} — the missing y defaults to 1.0 at
+        runtime, so the anisotropy bound must span [0.55, 1.0]."""
+        from segmentation_training_pipeline_tpu.ops.aug import (
+            fast_warp as FW)
+
+        r = np.random.RandomState(2)
+        imgs = r.randint(0, 255, (4, 128, 128, 3), np.uint8)
+        masks = (r.rand(4, 128, 128, 1) > 0.5).astype(np.float32)
+        spec = [{"name": "Affine",
+                 "args": {"rotate": [-25, 25], "scale": {"x": [0.55, 0.8]}}}]
+        fn = build_augmentation([dict(s) for s in spec])
+        oi, om = jax.jit(fn)(jax.random.PRNGKey(5), jnp.asarray(imgs),
+                             jnp.asarray(masks))
+        orig = FW.warp_joint_multipass
+
+        def padded(*a, **kw):
+            kw["pad_frac"] = 1.0
+            return orig(*a, **kw)
+
+        FW.warp_joint_multipass = padded
+        try:
+            fn2 = build_augmentation([dict(s) for s in spec])
+            ri, rm = jax.jit(fn2)(jax.random.PRNGKey(5), jnp.asarray(imgs),
+                                  jnp.asarray(masks))
+        finally:
+            FW.warp_joint_multipass = orig
+        d = np.abs(np.asarray(oi) - np.asarray(ri))
+        assert (d > 1.0).sum() == 0, f"{(d > 1.0).sum()} px clipped"
+        assert np.mean(np.asarray(om) != np.asarray(rm)) == 0.0
+
+    def test_stacked_affine_rotations_sum(self):
+        """Two Affine(rotate ±25) ops can compose to 50° — the pad bound
+        must sum rotations, not take the max."""
+        from segmentation_training_pipeline_tpu.ops.aug import (
+            fast_warp as FW)
+
+        r = np.random.RandomState(6)
+        imgs = r.randint(0, 255, (4, 128, 128, 3), np.uint8)
+        masks = (r.rand(4, 128, 128, 1) > 0.5).astype(np.float32)
+        spec = [{"name": "Affine", "args": {"rotate": [24.0, 25.0]}},
+                {"name": "Affine", "args": {"rotate": [24.0, 25.0]}}]
+        fn = build_augmentation([dict(s) for s in spec])
+        oi, om = jax.jit(fn)(jax.random.PRNGKey(7), jnp.asarray(imgs),
+                             jnp.asarray(masks))
+        orig = FW.warp_joint_multipass
+
+        def padded(*a, **kw):
+            kw["pad_frac"] = 1.0
+            return orig(*a, **kw)
+
+        FW.warp_joint_multipass = padded
+        try:
+            fn2 = build_augmentation([dict(s) for s in spec])
+            ri, rm = jax.jit(fn2)(jax.random.PRNGKey(7), jnp.asarray(imgs),
+                                  jnp.asarray(masks))
+        finally:
+            FW.warp_joint_multipass = orig
+        d = np.abs(np.asarray(oi) - np.asarray(ri))
+        assert (d > 1.0).sum() == 0, f"{(d > 1.0).sum()} px clipped"

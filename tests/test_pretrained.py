@@ -324,6 +324,9 @@ class TestVGGConvert:
                 kern = params_enc[f"stage{stage}_conv{c}"]["kernel"]
                 state[f"features.{i}.weight"] = np.transpose(
                     r.randn(*kern.shape).astype(np.float32), (3, 2, 0, 1))
+                # torchvision vgg convs carry biases in BOTH variants
+                state[f"features.{i}.bias"] = r.randn(
+                    kern.shape[-1]).astype(np.float32)
                 i += 1
                 if with_bn:
                     n = kern.shape[-1]
@@ -352,8 +355,11 @@ class TestVGGConvert:
         new_p, new_s = convert_torch_vgg(state, p, s)
         want = np.transpose(state["features.0.weight"], (2, 3, 1, 0))
         np.testing.assert_array_equal(new_p["stage1_conv1"]["kernel"], want)
-        np.testing.assert_array_equal(
-            new_s["stage1_bn1"]["mean"], state["features.1.running_mean"])
+        # conv bias folds into the converted running mean (BN saw Wx+b)
+        np.testing.assert_allclose(
+            new_s["stage1_bn1"]["mean"],
+            state["features.1.running_mean"] - state["features.0.bias"],
+            rtol=1e-6)
         # last conv of stage 5 also landed
         assert not np.array_equal(
             new_p["stage5_conv3"]["kernel"],
@@ -477,3 +483,24 @@ class TestDenseNetConvert:
             state["features.denseblock4.denselayer16.conv1.weight"]
         with pytest.raises(PretrainedWeightsError):
             convert_torch_densenet(state, p, s)
+
+
+    def test_legacy_dotted_keys_accepted(self, d121_vars):
+        """The canonical downloadable torchvision .pth files use legacy
+        dotted names (denselayer1.norm.1.weight) — both spellings load."""
+        from segmentation_training_pipeline_tpu.models.pretrained import (
+            convert_torch_densenet)
+        import re as _re
+
+        p = d121_vars["params"]["encoder"]
+        s = d121_vars["batch_stats"]["encoder"]
+        state = self._synthetic_torch_densenet(p)
+        legacy = {}
+        for k, v in state.items():
+            m = _re.match(r"^(.*denselayer\d+\.(?:norm|conv))([12])\.(.*)$", k)
+            legacy[f"{m.group(1)}.{m.group(2)}.{m.group(3)}" if m else k] = v
+        assert any(".norm.1." in k for k in legacy)  # really legacy now
+        new_p, new_s = convert_torch_densenet(legacy, p, s)
+        np.testing.assert_array_equal(
+            new_s["block2_layer3"]["bn1"]["mean"],
+            state["features.denseblock2.denselayer3.norm1.running_mean"])

@@ -11,19 +11,21 @@ from __future__ import annotations
 import os
 import time
 
-import jax
+# the env-var fallback must be visible before jax initializes its config
+_CACHE = os.path.expanduser("~/.cache/stp_xla_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
+
+import jax  # noqa: E402
 
 
 def enable_compile_cache() -> None:
     """Persistent XLA compile cache (cold compiles through the axon
     remote-compile tunnel cost minutes)."""
-    cache = os.path.expanduser("~/.cache/stp_xla_cache")
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
     try:
-        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_compilation_cache_dir", _CACHE)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
-        pass
+        pass  # older jax without the knob — env var already set above
 
 
 def timeit(name: str, fn, *args, n: int = 5, width: int = 45) -> float:
