@@ -67,14 +67,28 @@ def build_mesh(spec: Optional[MeshSpec] = None, devices=None) -> Mesh:
     if jax.process_count() > 1:
         # real multi-process run: hybrid ICI×DCN layout so the outer part
         # of the data axis crosses hosts and the inner part + space stay
-        # on ICI within each host
+        # on ICI within each host.  ``hosts`` is defined as the per-PROCESS
+        # granule (module docstring), so process_is_granule=True — the
+        # helper's default granule is slice_index, which is 0 for every
+        # device on a single multi-host pod slice and would raise.  When
+        # the configured hosts factor does not match the process count
+        # (or the helper rejects the topology) fall back to a plain
+        # process-ordered reshape: DCN factor still outermost on `data`.
         from jax.experimental import mesh_utils
 
-        arr = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(data // hosts, space),
-            dcn_mesh_shape=(hosts, 1),
-            devices=devices,
-        )
+        try:
+            if hosts != jax.process_count():
+                raise ValueError("hosts != process_count")
+            arr = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(data // hosts, space),
+                dcn_mesh_shape=(hosts, 1),
+                devices=devices,
+                process_is_granule=True,
+            )
+        except ValueError:
+            ordered = sorted(
+                devices, key=lambda d: (d.process_index, getattr(d, "id", 0)))
+            arr = np.asarray(ordered).reshape(data, space)
     else:
         # single process (incl. the virtual-CPU test mesh): a plain
         # reshape gives the same (data, space) logical layout; an explicit
@@ -98,9 +112,11 @@ def shard_batch(batch, mesh: Mesh):
 
     Single-process: a plain sharded ``device_put``.  Multi-process: every
     host assembles the same GLOBAL batch (the index plans are
-    deterministic, so they agree), and each process ships only its own
-    row-block via ``jax.make_array_from_process_local_data`` — no
-    cross-host traffic on the input path; masks/images ride DCN never.
+    deterministic, so they agree), and each process materializes only the
+    shards its addressable devices own via ``jax.make_array_from_callback``
+    — ownership comes from the sharding's own ``devices_indices_map``, so
+    no assumption about process→row contiguity is baked in, and no batch
+    bytes ever ride DCN.
     """
     sh = batch_sharding(mesh)
     rep = replicated(mesh)
@@ -111,16 +127,10 @@ def shard_batch(batch, mesh: Mesh):
             return jax.device_put(x, rep)
         if nproc == 1:
             return jax.device_put(x, sh)
-        n = x.shape[0]
-        if n % nproc:
-            raise ValueError(
-                f"global batch {n} is not divisible by process count {nproc}")
-        per = n // nproc
-        # contiguity invariant: build_mesh puts the DCN factor outermost on
-        # the data axis with granules sorted by process index, so process p
-        # owns exactly global rows [p*per, (p+1)*per) — the slice below and
-        # make_array_from_process_local_data's inferred layout agree
-        local = x[jax.process_index() * per:(jax.process_index() + 1) * per]
-        return jax.make_array_from_process_local_data(sh, np.asarray(local))
+        x = np.asarray(x)
+        # callback is invoked only for this process's addressable devices,
+        # with each device's GLOBAL index tuple — correct under any
+        # device order the hybrid mesh (or its fallback) produced
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
 
     return jax.tree.map(put, batch)

@@ -47,6 +47,15 @@ def _gcd_mesh(cfg: PipelineConfig):
     n_dev = len(jax.devices())
     if cfg.mesh:
         return build_mesh(MeshSpec.from_config(cfg.mesh))
+    if jax.process_count() > 1:
+        # multi-process: every process's devices must participate (a mesh
+        # over a device subset would deadlock the others), so the global
+        # batch has to cover the full fleet
+        if cfg.batch % n_dev:
+            raise ValueError(
+                f"multi-host run: global batch {cfg.batch} must be divisible "
+                f"by the global device count {n_dev} (or set mesh: in YAML)")
+        return build_mesh(MeshSpec(data=n_dev, space=1))
     n_data = math.gcd(cfg.batch, n_dev)
     return build_mesh(MeshSpec(data=n_data, space=1),
                       devices=jax.devices()[:n_data])
@@ -60,15 +69,27 @@ def _metric_fns(cfg: PipelineConfig):
 
 
 def _weighted_epoch_mean(batches: List[Dict[str, np.ndarray]]) -> Dict[str, float]:
-    """Per-example eval logs + weights → padding-corrected epoch means."""
+    """Per-batch weighted-sum eval logs → padding-corrected epoch means.
+
+    Each entry holds scalar ``sum(v * w)`` values plus the scalar weight
+    sum — reduced ON DEVICE (``_reduce_per_example``) so the arrays that
+    reach the host are fully replicated: per-example sharded outputs are
+    not addressable from one process in a multi-host run.
+    """
     if not batches:
         return {}
-    keys = [k for k in batches[0] if k != "weight"]
-    w = np.concatenate([np.asarray(b["weight"]) for b in batches])
-    out = {}
-    for k in keys:
-        v = np.concatenate([np.asarray(b[k], dtype=np.float64) for b in batches])
-        out[k] = float((v * w).sum() / max(w.sum(), 1.0))
+    wsum = max(sum(float(b["weight"]) for b in batches), 1.0)
+    return {k: sum(float(b[k]) for b in batches) / wsum
+            for k in batches[0] if k != "weight"}
+
+
+@jax.jit
+def _reduce_per_example(logs):
+    """Per-example eval logs {k: (B,), 'weight': (B,)} → replicated scalar
+    weighted sums (the only cross-host-safe thing to device_get)."""
+    w = logs["weight"]
+    out = {k: (v * w).sum() for k, v in logs.items() if k != "weight"}
+    out["weight"] = w.sum()
     return out
 
 
@@ -299,7 +320,8 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                     cfg.activation, batch, cache=item_cache)
                 val_logs = []
                 for b in Prefetcher(vgen, mesh=stage_mesh, depth=cfg.prefetch):
-                    val_logs.append(jax.device_get(eval_step(state, b)))
+                    val_logs.append(jax.device_get(
+                        _reduce_per_example(eval_step(state, b))))
 
                 tl = jax.device_get(train_logs)
                 if tracing:
@@ -372,6 +394,14 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                                           "monitor": monitor, "best": None,
                                           "done": True,
                                           "epochs_run": epochs_run})
+            # second barrier: the done-marker write above must be globally
+            # visible before any process moves on (otherwise a faster
+            # non-primary could re-enter this stage on resume while the
+            # primary skips it — mismatched collectives = deadlock)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices(f"stage-done-{key}")
             variables = jax.device_put(jax.device_get(variables),
                                        replicated(mesh))
             results[key] = {"best": tracker.best, "epochs": epochs_run,
