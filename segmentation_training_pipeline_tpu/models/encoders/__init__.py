@@ -27,7 +27,14 @@ _SPECS: Dict[str, Tuple[Type, Dict[str, Any]]] = {
     "resnet152": (ResNetEncoder, dict(stage_sizes=(3, 8, 36, 3), bottleneck=True)),
     "seresnet18": (SEResNetEncoder, dict(stage_sizes=(2, 2, 2, 2), bottleneck=False)),
     "seresnet34": (SEResNetEncoder, dict(stage_sizes=(3, 4, 6, 3), bottleneck=False)),
-    "seresnet50": (SEResNetEncoder, dict(stage_sizes=(3, 4, 6, 3), bottleneck=True)),
+    # seresnet50 strides the first 1x1 — the Caffe/Cadene SEResNetBottleneck
+    # quirk every se_resnet50 checkpoint in the wild (incl. the Keras ports
+    # behind the reference zoo) was trained with.  seresnext and plain
+    # resnet/resnext stride the 3x3 (torchvision "v1.5" == Cadene
+    # SEResNeXtBottleneck).  Weight shapes are identical either way, so the
+    # placement must live in the spec, not the converter.
+    "seresnet50": (SEResNetEncoder, dict(stage_sizes=(3, 4, 6, 3), bottleneck=True,
+                                         stride_on_conv1=True)),
     # ResNeXt 32x4d (Xie et al. 2017): cardinality-32 grouped 3x3, 2x inner width
     "resnext50": (ResNetEncoder, dict(stage_sizes=(3, 4, 6, 3), bottleneck=True,
                                       groups=32, width_factor=2)),

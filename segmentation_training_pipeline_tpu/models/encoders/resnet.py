@@ -36,7 +36,10 @@ class BasicBlock(nn.Module):
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = norm("bn2")(y)
         if self.use_se:
-            y = SEBlock(max(self.features // 16, 8), dtype=self.dtype, name="se")(y)
+            # canonical SENet reduction r=16 with ReLU hidden activation —
+            # exact sizing so se_resnet checkpoint SE convs ingest 1:1
+            y = SEBlock(max(self.features // 16, 1), dtype=self.dtype,
+                        act_fn="relu", name="se")(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1), self.strides,
                                use_bias=False, dtype=self.dtype, name="downsample")(residual)
@@ -51,6 +54,12 @@ class Bottleneck(nn.Module):
     use_se: bool = False
     groups: int = 1        # >1 → ResNeXt-style grouped 3x3 (Xie et al. 2017)
     width_factor: int = 1  # ResNeXt widens the inner 3x3 (e.g. 32x4d → 2x)
+    # torchvision ("v1.5") strides the 3x3; the Caffe/Cadene lineage — the
+    # origin of every se_resnet50/se_resnext checkpoint in the wild, and of
+    # the Keras ports the reference's zoo used — strides the first 1x1.
+    # Weight SHAPES are identical either way, so converters can't catch a
+    # placement mismatch; it must be encoded in the architecture spec.
+    stride_on_conv1: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -59,10 +68,12 @@ class Bottleneck(nn.Module):
             dtype=self.dtype, name=name)
         residual = x
         inner = self.features * self.width_factor
-        y = nn.Conv(inner, (1, 1), use_bias=False,
+        s1 = self.strides if self.stride_on_conv1 else (1, 1)
+        s2 = (1, 1) if self.stride_on_conv1 else self.strides
+        y = nn.Conv(inner, (1, 1), s1, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         y = nn.relu(norm("bn1")(y))
-        y = nn.Conv(inner, (3, 3), self.strides, padding="SAME",
+        y = nn.Conv(inner, (3, 3), s2, padding="SAME",
                     feature_group_count=self.groups,
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = nn.relu(norm("bn2")(y))
@@ -70,7 +81,8 @@ class Bottleneck(nn.Module):
                     dtype=self.dtype, name="conv3")(y)
         y = norm("bn3")(y)
         if self.use_se:
-            y = SEBlock(max(self.features * 4 // 16, 8), dtype=self.dtype, name="se")(y)
+            y = SEBlock(max(self.features * 4 // 16, 1), dtype=self.dtype,
+                        act_fn="relu", name="se")(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features * 4, (1, 1), self.strides,
                                use_bias=False, dtype=self.dtype, name="downsample")(residual)
@@ -86,6 +98,7 @@ class ResNetEncoder(nn.Module):
     use_se: bool = False
     groups: int = 1        # ResNeXt cardinality (32 for resnext50_32x4d)
     width_factor: int = 1  # ResNeXt inner-width multiplier (2 for 32x4d)
+    stride_on_conv1: bool = False  # Caffe/Cadene bottleneck stride placement
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -106,7 +119,8 @@ class ResNetEncoder(nn.Module):
                 kw = {}
                 if self.bottleneck:
                     kw = dict(groups=self.groups,
-                              width_factor=self.width_factor)
+                              width_factor=self.width_factor,
+                              stride_on_conv1=self.stride_on_conv1)
                 y = Block(features, strides, self.dtype, use_se=self.use_se,
                           name=f"stage{stage+1}_block{b+1}", **kw)(y, train)
             feats.append(y)  # C2..C5 at strides 4/8/16/32

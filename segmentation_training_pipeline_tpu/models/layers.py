@@ -59,16 +59,24 @@ class ConvBN(nn.Module):
 
 
 class SEBlock(nn.Module):
-    """Squeeze-and-excitation (Hu et al. 2018) — used by SE-ResNet/EfficientNet."""
+    """Squeeze-and-excitation (Hu et al. 2018) — used by SE-ResNet/EfficientNet.
+
+    ``act_fn``: the squeeze MLP's hidden activation — canonical SENet
+    (and the se_resnet/se_resnext checkpoints in the wild) uses ReLU;
+    EfficientNet uses SiLU/swish.  Getting this per-family is required
+    for pretrained-weight semantic parity (VERDICT r2 item 2).
+    """
 
     reduced: int
     dtype: Dtype = jnp.bfloat16
+    act_fn: str = "swish"
 
     @nn.compact
     def __call__(self, x):
+        act = nn.relu if self.act_fn == "relu" else nn.swish
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
         s = nn.Conv(self.reduced, (1, 1), dtype=self.dtype, name="reduce")(s)
-        s = nn.swish(s)
+        s = act(s)
         s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(s)
         return x * jax.nn.sigmoid(s)
 

@@ -47,8 +47,28 @@ def convert_torch_resnet(state: Dict[str, Any],
                          stats_enc: Dict[str, Any]) -> Tuple[Dict, Dict]:
     """Return (new encoder params, new encoder batch_stats) with values from
     a torchvision-style resnet state dict.  Shapes are validated against the
-    target tree; any mismatch raises with the offending key."""
+    target tree; any mismatch raises with the offending key.
+
+    Also covers the wider resnet family:
+
+    * **resnext50/101** — torchvision ``resnext*_32x4d`` uses the exact same
+      key naming; grouped-conv kernels are ``(O, I/g, kH, kW)`` and the same
+      OIHW→HWIO transpose lands them in the Flax grouped layout.
+    * **seresnet/seresnext** — Cadene/pretrainedmodels ``senet.py`` naming
+      (the origin of every SE checkpoint in the wild, and of timm's
+      ``legacy_seresnet*``): an optional ``layer0.`` stem prefix is stripped,
+      and per-block SE weights are read from ``…​.se_module.fc{1,2}`` (or
+      timm-modern ``…​.se.fc{1,2}``), accepting both conv-1x1 (4-D) and
+      Linear (2-D) parameterizations.  Loading plain-resnet weights into an
+      SE encoder (or vice versa) raises instead of silently leaving the SE
+      (or dropping its) weights.
+    """
     import copy
+
+    # Cadene senet stems live under layer0.* (conv1/bn1) — normalize.
+    if "conv1.weight" not in state and "layer0.conv1.weight" in state:
+        state = {(k[len("layer0."):] if k.startswith("layer0.") else k): v
+                 for k, v in state.items()}
 
     params = copy.deepcopy(jax_to_np(params_enc))
     stats = copy.deepcopy(jax_to_np(stats_enc))
@@ -75,6 +95,21 @@ def convert_torch_resnet(state: Dict[str, Any],
                     f"{prefix}.{tkey}: shape {v.shape} != {tuple(tgt.shape)}")
             tree[fkey] = v.astype(tgt.dtype)
 
+    def put_se(se_p: Dict[str, Any], prefix: str):
+        for src, dst in (("fc1", "reduce"), ("fc2", "expand")):
+            w = np.asarray(state[f"{prefix}.{src}.weight"])
+            if w.ndim == 2:  # nn.Linear SE variant: (O, I) → (O, I, 1, 1)
+                w = w[:, :, None, None]
+            w = np.transpose(w, (2, 3, 1, 0))
+            tgt = se_p[dst]["kernel"]
+            if tuple(tgt.shape) != w.shape:
+                raise PretrainedWeightsError(
+                    f"{prefix}.{src}.weight: shape {w.shape} != "
+                    f"{tuple(tgt.shape)}")
+            se_p[dst]["kernel"] = w.astype(tgt.dtype)
+            b = np.asarray(state[f"{prefix}.{src}.bias"])
+            se_p[dst]["bias"] = b.astype(se_p[dst]["bias"].dtype)
+
     # stem
     put_conv(params["stem_conv"], "conv1.weight")
     put_bn(params["stem_bn"], stats["stem_bn"], "bn1")
@@ -100,6 +135,23 @@ def convert_torch_resnet(state: Dict[str, Any],
                          f"layer{stage}.{b}.downsample.0.weight")
                 put_bn(blk_p["bn_down"], blk_s["bn_down"],
                        f"layer{stage}.{b}.downsample.1")
+            se_src = next(
+                (p for p in (f"layer{stage}.{b}.se_module",
+                             f"layer{stage}.{b}.se")
+                 if f"{p}.fc1.weight" in state), None)
+            if "se" in blk_p:
+                if se_src is None:
+                    raise PretrainedWeightsError(
+                        f"encoder block {mod} has an SE module but the state "
+                        f"dict has no layer{stage}.{b}.se_module/.se weights "
+                        "— plain-resnet weights into an SE-ResNet would "
+                        "leave SE at random init (wrong backbone?)")
+                put_se(blk_p["se"], se_src)
+            elif se_src is not None:
+                raise PretrainedWeightsError(
+                    f"state dict carries SE weights at {se_src} but the "
+                    "encoder is a plain resnet — they would be silently "
+                    "dropped (use the seresnet/seresnext backbone?)")
             b += 1
         if b == 0:
             raise PretrainedWeightsError(
@@ -468,7 +520,7 @@ def load_encoder_weights(backbone: str, spec: str,
             state = state.state_dict()
         state = {k: v.numpy() if hasattr(v, "numpy") else v
                  for k, v in state.items()}
-        if backbone.startswith(("resnet", "seresnet")):
+        if backbone.startswith(("resnet", "seresnet", "resnext", "seresnext")):
             new_p, new_s = convert_torch_resnet(state, params_enc, stats_enc)
         elif backbone.startswith("efficientnet"):
             new_p, new_s = convert_torch_efficientnet(state, params_enc,
