@@ -38,7 +38,15 @@ class _CBR(nn.Module):
 
 
 def _avgpool3(x):
+    # divides by the full window incl. padded zeros — torchvision
+    # inception_v3 semantics (count_include_pad=True)
     return nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+
+
+def _avgpool3_excl(x):
+    # timm inception_resnet_v2 pools with count_include_pad=False
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME",
+                       count_include_pad=False)
 
 
 def _maxpool3s2(x):
@@ -165,11 +173,15 @@ class InceptionV3Encoder(nn.Module):
 # ---------------------------------------------------------------------------
 
 class _IRBlock(nn.Module):
-    """Residual Inception block (block35/block17/block8) with scaling."""
+    """Residual Inception block (block35/block17/block8) with scaling.
+
+    ``relu=False`` is the canonical final block8 (scale 1.0, no activation)
+    that precedes conv_7b — timm's ``block8 = Block8(no_relu=True)``."""
 
     kind: str  # "35" | "17" | "8"
     scale: float
     dtype: Dtype = jnp.bfloat16
+    relu: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -196,7 +208,8 @@ class _IRBlock(nn.Module):
             mixed = jnp.concatenate([b0, b1], axis=-1)
         up = nn.Conv(x.shape[-1], (1, 1), use_bias=True, dtype=d,
                      name="up")(mixed)
-        return nn.relu(x + self.scale * up)
+        y = x + self.scale * up
+        return nn.relu(y) if self.relu else y
 
 
 class InceptionResNetV2Encoder(nn.Module):
@@ -223,7 +236,7 @@ class InceptionResNetV2Encoder(nn.Module):
         b2 = _CBR(64, (1, 1), dtype=d, name="m5b_b2_1")(y, train)
         b2 = _CBR(96, (3, 3), dtype=d, name="m5b_b2_2")(b2, train)
         b2 = _CBR(96, (3, 3), dtype=d, name="m5b_b2_3")(b2, train)
-        bp = _CBR(64, (1, 1), dtype=d, name="m5b_bp")(_avgpool3(y), train)
+        bp = _CBR(64, (1, 1), dtype=d, name="m5b_bp")(_avgpool3_excl(y), train)
         y = jnp.concatenate([b0, b1, b2, bp], axis=-1)
         for i in range(10):
             y = _IRBlock("35", 0.17, dtype=d, name=f"block35_{i + 1}")(y, train)
@@ -248,6 +261,8 @@ class InceptionResNetV2Encoder(nn.Module):
         y = jnp.concatenate([b0, b1, b2, _maxpool3s2(y)], axis=-1)
         for i in range(9):
             y = _IRBlock("8", 0.20, dtype=d, name=f"block8_{i + 1}")(y, train)
+        # canonical final block8: scale 1.0, no activation (timm no_relu)
+        y = _IRBlock("8", 1.0, dtype=d, relu=False, name="block8_10")(y, train)
         y = _CBR(1536, (1, 1), dtype=d, name="conv7b")(y, train)
         feats.append(y)                       # C5 stride 32, 1536ch
         return feats

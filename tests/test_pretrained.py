@@ -121,6 +121,27 @@ def test_imagenet_missing_warns_not_errors(r18_vars, tmp_path, monkeypatch):
     assert out is None
 
 
+def test_imagenet_missing_strict_mode_raises(r18_vars, tmp_path, monkeypatch):
+    monkeypatch.setenv("STP_PRETRAINED_DIR", str(tmp_path / "nothing"))
+    monkeypatch.setenv("STP_REQUIRE_PRETRAINED", "1")
+    with pytest.raises(PretrainedWeightsError, match="STP_REQUIRE_PRETRAINED"):
+        load_encoder_weights("resnet18", "imagenet", r18_vars)
+
+
+def test_every_backbone_has_a_torch_converter():
+    """VERDICT r2 item 2: the no-converter branch must be unreachable for
+    every registered backbone."""
+    from segmentation_training_pipeline_tpu.models.encoders import (
+        known_backbones,
+    )
+    from segmentation_training_pipeline_tpu.models.pretrained import (
+        torch_converter_for,
+    )
+
+    for name in known_backbones():
+        assert callable(torch_converter_for(name)), name
+
+
 def test_missing_explicit_path_raises(r18_vars):
     with pytest.raises(PretrainedWeightsError, match="not found"):
         load_encoder_weights("resnet18", "/no/such/file.pt", r18_vars)

@@ -22,10 +22,19 @@ from segmentation_training_pipeline_tpu.models.encoders import (  # noqa: E402
 )
 from segmentation_training_pipeline_tpu.models.pretrained import (  # noqa: E402
     PretrainedWeightsError,
+    convert_torch_inceptionresnetv2,
+    convert_torch_inceptionv3,
     convert_torch_resnet,
+    convert_torch_xception,
 )
 
-from torch_oracles import TorchResNet, randomize_  # noqa: E402
+from torch_oracles import (  # noqa: E402
+    TorchInceptionResNetV2,
+    TorchInceptionV3,
+    TorchResNet,
+    TorchXception,
+    randomize_,
+)
 
 # backbone name → oracle constructor kwargs
 _CASES = {
@@ -77,6 +86,43 @@ def test_resnet_family_matches_torch(backbone):
         assert g.shape == w.shape, f"tap C{i+1}: {g.shape} vs {w.shape}"
         np.testing.assert_allclose(
             g, w, rtol=1e-3, atol=2e-3,
+            err_msg=f"{backbone} tap C{i+1} diverged from the torch oracle")
+
+
+# (backbone, oracle ctor, converter) for the non-resnet families
+_FAMILY_CASES = {
+    "inceptionv3": (TorchInceptionV3, convert_torch_inceptionv3),
+    "inceptionresnetv2": (TorchInceptionResNetV2,
+                          convert_torch_inceptionresnetv2),
+    "xception": (TorchXception, convert_torch_xception),
+}
+
+
+@pytest.mark.parametrize("backbone", sorted(_FAMILY_CASES))
+def test_inception_xception_match_torch(backbone):
+    ctor, convert = _FAMILY_CASES[backbone]
+    oracle = ctor().eval()
+    randomize_(oracle, seed=11)
+
+    rng = np.random.RandomState(2)
+    x = rng.rand(1, 65, 65, 3).astype(np.float32)
+    with torch.no_grad():
+        want = [t.numpy() for t in
+                oracle(torch.from_numpy(x.transpose(0, 3, 1, 2)))]
+
+    enc = build_encoder(backbone, dtype=jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    new_p, new_s = convert(_state_np(oracle), variables["params"],
+                           variables["batch_stats"])
+    got = enc.apply({"params": new_p, "batch_stats": new_s},
+                    jnp.asarray(x), train=False)
+
+    assert len(got) == len(want) == 5
+    for i, (g, w) in enumerate(zip(got, want)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        assert g.shape == w.shape, f"tap C{i+1}: {g.shape} vs {w.shape}"
+        np.testing.assert_allclose(
+            g, w, rtol=1e-3, atol=5e-3,
             err_msg=f"{backbone} tap C{i+1} diverged from the torch oracle")
 
 

@@ -148,3 +148,386 @@ def randomize_(model: nn.Module, seed: int = 0) -> None:
                     torch.rand(m.weight.shape, generator=g) * 0.4 + 0.3)
                 m.bias.copy_(
                     torch.randn(m.bias.shape, generator=g) * 0.1)
+
+
+# ---------------------------------------------------------------------------
+# Inception family (torchvision inception_v3 / timm inception_resnet_v2
+# naming).  Padding note: the canonical nets use VALID padding in stems and
+# reductions; the Flax encoders use SAME (documented deviation in
+# models/encoders/inception.py), so these oracles pad symmetrically (k//2)
+# everywhere — at odd extents that IS XLA SAME, and the state-dict layout
+# (what the converters parse) is unchanged.
+# ---------------------------------------------------------------------------
+
+class BasicConv2d(nn.Module):
+    """conv(bias=False) + BN(eps=1e-3) + ReLU — torchvision/timm naming."""
+
+    def __init__(self, cin, cout, k, stride=1):
+        super().__init__()
+        if isinstance(k, int):
+            k = (k, k)
+        pad = (k[0] // 2, k[1] // 2)
+        self.conv = nn.Conv2d(cin, cout, k, stride, pad, bias=False)
+        self.bn = nn.BatchNorm2d(cout, eps=1e-3)
+
+    def forward(self, x):
+        return torch.relu(self.bn(self.conv(x)))
+
+
+def _avg3(x):
+    return torch.nn.functional.avg_pool2d(x, 3, 1, 1)
+
+
+class IncA(nn.Module):
+    def __init__(self, cin, pool_features):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(cin, 64, 1)
+        self.branch5x5_1 = BasicConv2d(cin, 48, 1)
+        self.branch5x5_2 = BasicConv2d(48, 64, 5)
+        self.branch3x3dbl_1 = BasicConv2d(cin, 64, 1)
+        self.branch3x3dbl_2 = BasicConv2d(64, 96, 3)
+        self.branch3x3dbl_3 = BasicConv2d(96, 96, 3)
+        self.branch_pool = BasicConv2d(cin, pool_features, 1)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch1x1(x),
+            self.branch5x5_2(self.branch5x5_1(x)),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            self.branch_pool(_avg3(x))], 1)
+
+
+class IncRedA(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3 = BasicConv2d(cin, 384, 3, 2)
+        self.branch3x3dbl_1 = BasicConv2d(cin, 64, 1)
+        self.branch3x3dbl_2 = BasicConv2d(64, 96, 3)
+        self.branch3x3dbl_3 = BasicConv2d(96, 96, 3, 2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3(x),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            torch.nn.functional.max_pool2d(x, 3, 2, 1)], 1)
+
+
+class IncB(nn.Module):
+    def __init__(self, cin, c7):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(cin, 192, 1)
+        self.branch7x7_1 = BasicConv2d(cin, c7, 1)
+        self.branch7x7_2 = BasicConv2d(c7, c7, (1, 7))
+        self.branch7x7_3 = BasicConv2d(c7, 192, (7, 1))
+        self.branch7x7dbl_1 = BasicConv2d(cin, c7, 1)
+        self.branch7x7dbl_2 = BasicConv2d(c7, c7, (7, 1))
+        self.branch7x7dbl_3 = BasicConv2d(c7, c7, (1, 7))
+        self.branch7x7dbl_4 = BasicConv2d(c7, c7, (7, 1))
+        self.branch7x7dbl_5 = BasicConv2d(c7, 192, (1, 7))
+        self.branch_pool = BasicConv2d(cin, 192, 1)
+
+    def forward(self, x):
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        return torch.cat([self.branch1x1(x), b7, bd,
+                          self.branch_pool(_avg3(x))], 1)
+
+
+class IncRedB(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3_1 = BasicConv2d(cin, 192, 1)
+        self.branch3x3_2 = BasicConv2d(192, 320, 3, 2)
+        self.branch7x7x3_1 = BasicConv2d(cin, 192, 1)
+        self.branch7x7x3_2 = BasicConv2d(192, 192, (1, 7))
+        self.branch7x7x3_3 = BasicConv2d(192, 192, (7, 1))
+        self.branch7x7x3_4 = BasicConv2d(192, 192, 3, 2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3_2(self.branch3x3_1(x)),
+            self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
+                self.branch7x7x3_1(x)))),
+            torch.nn.functional.max_pool2d(x, 3, 2, 1)], 1)
+
+
+class IncE(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(cin, 320, 1)
+        self.branch3x3_1 = BasicConv2d(cin, 384, 1)
+        self.branch3x3_2a = BasicConv2d(384, 384, (1, 3))
+        self.branch3x3_2b = BasicConv2d(384, 384, (3, 1))
+        self.branch3x3dbl_1 = BasicConv2d(cin, 448, 1)
+        self.branch3x3dbl_2 = BasicConv2d(448, 384, 3)
+        self.branch3x3dbl_3a = BasicConv2d(384, 384, (1, 3))
+        self.branch3x3dbl_3b = BasicConv2d(384, 384, (3, 1))
+        self.branch_pool = BasicConv2d(cin, 192, 1)
+
+    def forward(self, x):
+        b3 = self.branch3x3_1(x)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        return torch.cat([
+            self.branch1x1(x), self.branch3x3_2a(b3), self.branch3x3_2b(b3),
+            self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd),
+            self.branch_pool(_avg3(x))], 1)
+
+
+class TorchInceptionV3(nn.Module):
+    """torchvision ``inception_v3`` state-dict layout, [C1..C5] taps."""
+
+    def __init__(self):
+        super().__init__()
+        self.Conv2d_1a_3x3 = BasicConv2d(3, 32, 3, 2)
+        self.Conv2d_2a_3x3 = BasicConv2d(32, 32, 3)
+        self.Conv2d_2b_3x3 = BasicConv2d(32, 64, 3)
+        self.Conv2d_3b_1x1 = BasicConv2d(64, 80, 1)
+        self.Conv2d_4a_3x3 = BasicConv2d(80, 192, 3)
+        self.Mixed_5b = IncA(192, 32)
+        self.Mixed_5c = IncA(256, 64)
+        self.Mixed_5d = IncA(288, 64)
+        self.Mixed_6a = IncRedA(288)
+        self.Mixed_6b = IncB(768, 128)
+        self.Mixed_6c = IncB(768, 160)
+        self.Mixed_6d = IncB(768, 160)
+        self.Mixed_6e = IncB(768, 192)
+        self.Mixed_7a = IncRedB(768)
+        self.Mixed_7b = IncE(1280)
+        self.Mixed_7c = IncE(2048)
+
+    def forward(self, x):
+        mp = lambda t: torch.nn.functional.max_pool2d(t, 3, 2, 1)  # noqa
+        y = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+        feats = [y]
+        y = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(mp(y)))
+        feats.append(y)
+        y = self.Mixed_5d(self.Mixed_5c(self.Mixed_5b(mp(y))))
+        feats.append(y)
+        y = self.Mixed_6e(self.Mixed_6d(self.Mixed_6c(self.Mixed_6b(
+            self.Mixed_6a(y)))))
+        feats.append(y)
+        y = self.Mixed_7c(self.Mixed_7b(self.Mixed_7a(y)))
+        feats.append(y)
+        return feats
+
+
+class IRMixed5b(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.branch0 = BasicConv2d(192, 96, 1)
+        self.branch1 = nn.Sequential(BasicConv2d(192, 48, 1),
+                                     BasicConv2d(48, 64, 5))
+        self.branch2 = nn.Sequential(BasicConv2d(192, 64, 1),
+                                     BasicConv2d(64, 96, 3),
+                                     BasicConv2d(96, 96, 3))
+        self.branch3 = nn.Sequential(
+            nn.AvgPool2d(3, 1, 1, count_include_pad=False),
+            BasicConv2d(192, 64, 1))
+
+    def forward(self, x):
+        return torch.cat([self.branch0(x), self.branch1(x),
+                          self.branch2(x), self.branch3(x)], 1)
+
+
+class IRBlock35(nn.Module):
+    def __init__(self, scale=0.17):
+        super().__init__()
+        self.scale = scale
+        self.branch0 = BasicConv2d(320, 32, 1)
+        self.branch1 = nn.Sequential(BasicConv2d(320, 32, 1),
+                                     BasicConv2d(32, 32, 3))
+        self.branch2 = nn.Sequential(BasicConv2d(320, 32, 1),
+                                     BasicConv2d(32, 48, 3),
+                                     BasicConv2d(48, 64, 3))
+        self.conv2d = nn.Conv2d(128, 320, 1)
+
+    def forward(self, x):
+        up = self.conv2d(torch.cat([self.branch0(x), self.branch1(x),
+                                    self.branch2(x)], 1))
+        return torch.relu(x + self.scale * up)
+
+
+class IRMixed6a(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.branch0 = BasicConv2d(320, 384, 3, 2)
+        self.branch1 = nn.Sequential(BasicConv2d(320, 256, 1),
+                                     BasicConv2d(256, 256, 3),
+                                     BasicConv2d(256, 384, 3, 2))
+        self.branch2 = nn.MaxPool2d(3, 2, 1)
+
+    def forward(self, x):
+        return torch.cat([self.branch0(x), self.branch1(x),
+                          self.branch2(x)], 1)
+
+
+class IRBlock17(nn.Module):
+    def __init__(self, scale=0.10):
+        super().__init__()
+        self.scale = scale
+        self.branch0 = BasicConv2d(1088, 192, 1)
+        self.branch1 = nn.Sequential(BasicConv2d(1088, 128, 1),
+                                     BasicConv2d(128, 160, (1, 7)),
+                                     BasicConv2d(160, 192, (7, 1)))
+        self.conv2d = nn.Conv2d(384, 1088, 1)
+
+    def forward(self, x):
+        up = self.conv2d(torch.cat([self.branch0(x), self.branch1(x)], 1))
+        return torch.relu(x + self.scale * up)
+
+
+class IRMixed7a(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.branch0 = nn.Sequential(BasicConv2d(1088, 256, 1),
+                                     BasicConv2d(256, 384, 3, 2))
+        self.branch1 = nn.Sequential(BasicConv2d(1088, 256, 1),
+                                     BasicConv2d(256, 288, 3, 2))
+        self.branch2 = nn.Sequential(BasicConv2d(1088, 256, 1),
+                                     BasicConv2d(256, 288, 3),
+                                     BasicConv2d(288, 320, 3, 2))
+        self.branch3 = nn.MaxPool2d(3, 2, 1)
+
+    def forward(self, x):
+        return torch.cat([self.branch0(x), self.branch1(x),
+                          self.branch2(x), self.branch3(x)], 1)
+
+
+class IRBlock8(nn.Module):
+    def __init__(self, scale=0.20, no_relu=False):
+        super().__init__()
+        self.scale, self.no_relu = scale, no_relu
+        self.branch0 = BasicConv2d(2080, 192, 1)
+        self.branch1 = nn.Sequential(BasicConv2d(2080, 192, 1),
+                                     BasicConv2d(192, 224, (1, 3)),
+                                     BasicConv2d(224, 256, (3, 1)))
+        self.conv2d = nn.Conv2d(448, 2080, 1)
+
+    def forward(self, x):
+        up = self.conv2d(torch.cat([self.branch0(x), self.branch1(x)], 1))
+        y = x + self.scale * up
+        return y if self.no_relu else torch.relu(y)
+
+
+class TorchInceptionResNetV2(nn.Module):
+    """timm ``inception_resnet_v2`` state-dict layout, [C1..C5] taps."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv2d_1a = BasicConv2d(3, 32, 3, 2)
+        self.conv2d_2a = BasicConv2d(32, 32, 3)
+        self.conv2d_2b = BasicConv2d(32, 64, 3)
+        self.maxpool_3a = nn.MaxPool2d(3, 2, 1)
+        self.conv2d_3b = BasicConv2d(64, 80, 1)
+        self.conv2d_4a = BasicConv2d(80, 192, 3)
+        self.maxpool_5a = nn.MaxPool2d(3, 2, 1)
+        self.mixed_5b = IRMixed5b()
+        self.repeat = nn.Sequential(*[IRBlock35() for _ in range(10)])
+        self.mixed_6a = IRMixed6a()
+        self.repeat_1 = nn.Sequential(*[IRBlock17() for _ in range(20)])
+        self.mixed_7a = IRMixed7a()
+        self.repeat_2 = nn.Sequential(*[IRBlock8() for _ in range(9)])
+        self.block8 = IRBlock8(scale=1.0, no_relu=True)
+        self.conv2d_7b = BasicConv2d(2080, 1536, 1)
+
+    def forward(self, x):
+        y = self.conv2d_2b(self.conv2d_2a(self.conv2d_1a(x)))
+        feats = [y]
+        y = self.conv2d_4a(self.conv2d_3b(self.maxpool_3a(y)))
+        feats.append(y)
+        y = self.repeat(self.mixed_5b(self.maxpool_5a(y)))
+        feats.append(y)
+        y = self.repeat_1(self.mixed_6a(y))
+        feats.append(y)
+        y = self.conv2d_7b(self.block8(self.repeat_2(self.mixed_7a(y))))
+        feats.append(y)
+        return feats
+
+
+# ---------------------------------------------------------------------------
+# Classic Xception (Cadene/pretrainedmodels naming == timm legacy_xception)
+# ---------------------------------------------------------------------------
+
+class SeparableConv2d(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cin, 3, 1, 1, groups=cin, bias=False)
+        self.pointwise = nn.Conv2d(cin, cout, 1, bias=False)
+
+    def forward(self, x):
+        return self.pointwise(self.conv1(x))
+
+
+class XBlock(nn.Module):
+    """Cadene ``Block``: the rep Sequential keeps the parameter-free ReLU /
+    MaxPool entries so state-dict indices match real checkpoints."""
+
+    def __init__(self, cin, cout, reps, strides=1, start_with_relu=True,
+                 grow_first=True):
+        super().__init__()
+        if cout != cin or strides != 1:
+            self.skip = nn.Conv2d(cin, cout, 1, strides, bias=False)
+            self.skipbn = nn.BatchNorm2d(cout)
+        rep = []
+        filters = cin
+        if grow_first:
+            rep += [nn.ReLU(), SeparableConv2d(cin, cout),
+                    nn.BatchNorm2d(cout)]
+            filters = cout
+        for _ in range(reps - 1):
+            rep += [nn.ReLU(), SeparableConv2d(filters, filters),
+                    nn.BatchNorm2d(filters)]
+        if not grow_first:
+            rep += [nn.ReLU(), SeparableConv2d(cin, cout),
+                    nn.BatchNorm2d(cout)]
+        if not start_with_relu:
+            rep = rep[1:]
+        if strides != 1:
+            rep.append(nn.MaxPool2d(3, strides, 1))
+        self.rep = nn.Sequential(*rep)
+
+    def forward(self, x):
+        skip = self.skipbn(self.skip(x)) if hasattr(self, "skip") else x
+        return self.rep(x) + skip
+
+
+class TorchXception(nn.Module):
+    """Cadene ``xception`` state-dict layout, [C1..C5] taps."""
+
+    def __init__(self, middle_blocks=8):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 32, 3, 2, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(32)
+        self.conv2 = nn.Conv2d(32, 64, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(64)
+        self.block1 = XBlock(64, 128, 2, 2, start_with_relu=False)
+        self.block2 = XBlock(128, 256, 2, 2)
+        self.block3 = XBlock(256, 728, 2, 2)
+        for i in range(middle_blocks):
+            setattr(self, f"block{4 + i}", XBlock(728, 728, 3))
+        self._exit_idx = 4 + middle_blocks
+        setattr(self, f"block{self._exit_idx}",
+                XBlock(728, 1024, 2, 2, grow_first=False))
+        self.conv3 = SeparableConv2d(1024, 1536)
+        self.bn3 = nn.BatchNorm2d(1536)
+        self.conv4 = SeparableConv2d(1536, 2048)
+        self.bn4 = nn.BatchNorm2d(2048)
+
+    def forward(self, x):
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = torch.relu(self.bn2(self.conv2(y)))
+        feats = [y]
+        y = self.block1(y)
+        feats.append(y)
+        y = self.block2(y)
+        feats.append(y)
+        y = self.block3(y)
+        for i in range(4, self._exit_idx):
+            y = getattr(self, f"block{i}")(y)
+        feats.append(y)
+        y = getattr(self, f"block{self._exit_idx}")(y)
+        y = torch.relu(self.bn3(self.conv3(y)))
+        y = torch.relu(self.bn4(self.conv4(y)))
+        feats.append(y)
+        return feats
