@@ -100,8 +100,10 @@ def main():
             p = bundle._predict(fv, imgs)
         float(_jax.device_get(p[0, 0, 0, 0]))
         dt = time.perf_counter() - t0
-        n_chips = len(_jax.devices())
-        ips = ib * STEPS / dt / max(1, n_chips)
+        # the bundle's predict program and batch are single-device (not
+        # sharded), so per-chip throughput divides by 1 regardless of how
+        # many chips the host exposes (ADVICE r2)
+        ips = ib * STEPS / dt
         print(json.dumps({
             "metric": "predict_fliptta_images_per_sec_per_chip_unet_resnet34_512",
             "value": round(ips, 2),

@@ -223,32 +223,23 @@ def predict_all_to_dir(cfg: PipelineConfig, src, dst: str, folds=None,
     return n
 
 
-def _np_metric(name: str, y: np.ndarray, p: np.ndarray, activation: str,
-               threshold: float = 0.5) -> float:
-    """Host-side (numpy) metric math — per-item eval must not dispatch tiny
-    device ops (each would be a device round-trip per image)."""
-    eps = 1e-7
-    if activation == "softmax" and p.shape[-1] > 1:
-        hard = (p == p.max(axis=-1, keepdims=True)).astype(np.float32)
-    else:
-        hard = (p >= threshold).astype(np.float32)
-    t = np.round(y).astype(np.float32)
-    inter = float((hard * t).sum())
-    key = name.lower().replace("val_", "")
-    if key in ("iou", "iou_score", "jaccard_score"):
-        union = float(hard.sum() + t.sum()) - inter
-        return (inter + eps) / (union + eps)
-    if key in ("dice", "dice_score", "f1_score", "f1-score"):
-        return (2 * inter + eps) / (float(hard.sum() + t.sum()) + eps)
-    if key in ("binary_accuracy", "accuracy", "acc", "categorical_accuracy"):
-        if activation == "softmax" and p.shape[-1] > 1:
-            return float((np.argmax(p, -1) == np.argmax(y, -1)).mean())
-        return float((hard == t).mean())
-    if key == "precision":
-        return (inter + eps) / (float(hard.sum()) + eps)
-    if key == "recall":
-        return (inter + eps) / (float(t.sum()) + eps)
-    raise KeyError(f"metric {name!r} not supported in host evaluate")
+def _metric_batch_fn(names: Sequence[str], activation: str):
+    """One jitted program computing per-example values of every requested
+    registry metric over a stacked batch — the SAME functions the epoch
+    ``val_*`` path runs (ops/metrics.py), so ``evaluate()`` cannot diverge
+    from training-time validation (VERDICT r2 item 5: the old host-numpy
+    duplicate supported 5 metric families and marked softmax TIES as
+    all-ones, inflating intersections; the registry's argmax one-hot does
+    not)."""
+    from .ops import metrics as _metrics
+
+    fns = {nm: _metrics.get(nm) for nm in names}
+
+    def per_example(y, p):
+        return {nm: fn(y[None], p[None], activation)
+                for nm, fn in fns.items()}
+
+    return jax.jit(jax.vmap(per_example))
 
 
 def predict_to_csv(cfg: PipelineConfig, src, csv_path: str, folds=None,
@@ -286,21 +277,53 @@ def evaluate(cfg: PipelineConfig, dataset: DataSet, folds=None,
              threshold: Optional[float] = None) -> Dict[str, float]:
     """Dataset-level metrics with the full inference pipeline (TTA +
     ensembling) at original image sizes.  Reference ``cfg.evaluate…``
-    family.  Metric math runs on host numpy (predictions are already on
-    host); the device only runs the batched predict program."""
+    family.
+
+    Metric math is the jitted registry path validation uses — items are
+    bucketed by (mask, prediction) shape, stacked to ``batch_size``, and a
+    single per-example metric program runs per bucket flush (one compile
+    per distinct image size, no per-item device round-trips).  A
+    non-default ``threshold`` pre-binarizes sigmoid probabilities (the
+    registry metrics themselves binarize at 0.5, idempotent on 0/1 input);
+    softmax metrics use argmax regardless of threshold."""
     names = list(cfg.metrics) or ["iou", "dice"]
     thr = cfg.threshold if threshold is None else threshold
+    batch_fn = _metric_batch_fn(names, cfg.activation)
+    bs = batch_size or cfg.batch
     sums = {nm: 0.0 for nm in names}
     count = 0
+    buckets: Dict[tuple, list] = {}
+
+    def flush(key):
+        ys, ps = zip(*buckets.pop(key))
+        n = len(ys)
+        ys_, ps_ = np.stack(ys), np.stack(ps)
+        if n < bs:  # pad to the static batch; padded rows are dropped below
+            pad = bs - n
+            ys_ = np.concatenate(
+                [ys_, np.zeros((pad, *ys_.shape[1:]), ys_.dtype)])
+            ps_ = np.concatenate(
+                [ps_, np.zeros((pad, *ps_.shape[1:]), ps_.dtype)])
+        out = jax.device_get(batch_fn(ys_, ps_))
+        for nm in names:
+            sums[nm] += float(np.asarray(out[nm])[:n].sum())
+
     for item in predict_on_dataset(cfg, dataset, folds=folds, stage=stage,
                                    batch_size=batch_size):
         if item.y is None:
             continue
         y = prepare_mask(item.y, (*item.prediction.shape[:2], 3),
-                         cfg.classes, cfg.activation)
-        for nm in names:
-            sums[nm] += _np_metric(nm, y, item.prediction, cfg.activation, thr)
+                         cfg.classes, cfg.activation).astype(np.float32)
+        p = np.asarray(item.prediction, np.float32)
+        if thr != 0.5 and cfg.activation != "softmax":
+            p = (p >= thr).astype(np.float32)
+        key = (y.shape, p.shape)
+        buckets.setdefault(key, []).append((y, p))
         count += 1
+        if len(buckets[key]) >= bs:
+            flush(key)
+    for key in list(buckets):
+        flush(key)
     if count == 0:
         return {}
     return {nm: s / count for nm, s in sums.items()}

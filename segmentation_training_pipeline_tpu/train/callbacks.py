@@ -11,7 +11,6 @@ never the compiled program — so schedule changes cost zero retraces
 
 from __future__ import annotations
 
-import json
 import math
 import os
 from dataclasses import dataclass, field
@@ -246,28 +245,33 @@ class CSVLogger(Callback):
 
 
 class TensorBoard(Callback):
-    """Scalar logging without a TF dependency: JSONL event stream under
-    ``log_dir`` (one line per epoch).  Viewable with any tool; keeps the
-    YAML surface compatible with the reference's TensorBoard callback."""
+    """Real ``tfevents`` scalar logging without a TF dependency
+    (utils/tfevents.py hand-encodes the TFRecord + Event-proto format) —
+    ``tensorboard --logdir`` renders epoch scalars exactly as the
+    reference's Keras TensorBoard callback did (SURVEY.md §5)."""
 
     def __init__(self, log_dir: str = "./logs", **_ignored):
         self.log_dir = log_dir
-        self._file = None
+        self._writer = None
 
     def on_train_begin(self, control):
-        os.makedirs(self.log_dir, exist_ok=True)
-        self._file = open(os.path.join(self.log_dir, "events.jsonl"), "a")
+        from ..utils.tfevents import EventFileWriter
+
+        self._writer = EventFileWriter(self.log_dir)
 
     def on_epoch_end(self, epoch, logs, control):
-        if self._file:
-            self._file.write(json.dumps(
-                {"epoch": epoch, "lr": control.effective_lr, **logs}) + "\n")
-            self._file.flush()
+        if self._writer:
+            scalars = {"lr": control.effective_lr}
+            scalars.update({k: v for k, v in logs.items()
+                            if isinstance(v, (int, float))})
+            # TensorBoard steps are 1-based epochs here (step 0 would
+            # collide with the file_version record's implicit step)
+            self._writer.add_scalars(epoch + 1, scalars)
 
     def on_train_end(self, control):
-        if self._file:
-            self._file.close()
-            self._file = None
+        if self._writer:
+            self._writer.close()
+            self._writer = None
 
 
 _CALLBACKS = {

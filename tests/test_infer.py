@@ -95,6 +95,67 @@ class TestPredict:
         bundle = cfg.load(fold=0, stage=0)
         assert bundle.folds == [0]
 
+    def test_evaluate_agrees_with_epoch_val_metrics(self, trained2):
+        """VERDICT r2 item 5: evaluate() must run the SAME jitted metric
+        path as training-time validation — check agreement to 1e-6 against
+        build_eval_step on identical items (fold 0, no TTA, images at
+        config shape so the predict pipeline is resize-free)."""
+        from collections import namedtuple
+
+        from segmentation_training_pipeline_tpu.data.batcher import (
+            prepare_image,
+            prepare_mask,
+        )
+        from segmentation_training_pipeline_tpu.models.factory import (
+            model_from_config,
+            template_variables,
+        )
+        from segmentation_training_pipeline_tpu.ops import metrics as M
+        from segmentation_training_pipeline_tpu.ops.losses import build_loss
+        from segmentation_training_pipeline_tpu.train.checkpoint import (
+            load_checkpoint,
+        )
+        from segmentation_training_pipeline_tpu.train.step import (
+            build_eval_step,
+        )
+
+        cfg, ds, tmp = trained2
+        model = model_from_config(cfg)
+        variables = load_checkpoint(
+            cfg.weights_path(0, 0), template_variables(model, cfg.shape))
+        state = namedtuple("S", "params batch_stats")(
+            variables["params"], variables.get("batch_stats", {}))
+        eval_step = build_eval_step(
+            model, build_loss(cfg.loss, cfg.activation),
+            {"iou": M.get("iou"), "soft_iou": M.get("soft_iou")},
+            cfg.activation, cfg.preprocessing)
+
+        vals = {"iou": [], "soft_iou": []}
+        bs = cfg.batch
+        for start in range(0, len(ds), bs):
+            items = [ds[i] for i in range(start, min(start + bs, len(ds)))]
+            batch = {
+                "image": np.stack([prepare_image(it.x, cfg.shape)
+                                   for it in items]),
+                "mask": np.stack([prepare_mask(it.y, cfg.shape, cfg.classes,
+                                               cfg.activation)
+                                  for it in items]),
+                "weight": np.ones(len(items), np.float32),
+            }
+            logs = eval_step(state, batch)
+            for nm in vals:
+                vals[nm].extend(np.asarray(logs[nm]).tolist())
+
+        # soft_iou was a KeyError in the old host-numpy evaluate
+        want_cfg_metrics = cfg.metrics
+        try:
+            cfg.metrics = ["iou", "soft_iou"]
+            got = cfg.evaluate(ds, folds=[0])
+        finally:
+            cfg.metrics = want_cfg_metrics
+        for nm in vals:
+            assert abs(got[nm] - float(np.mean(vals[nm]))) < 1e-6, nm
+
 
 class TestPredictCSV:
     def test_rle_submission(self, trained2, tmp_path):
