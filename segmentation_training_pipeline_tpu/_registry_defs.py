@@ -99,6 +99,11 @@ for name, aliases in [
     ("PerspectiveTransform", ()),
     ("AddToHueAndSaturation", ()),
     ("MultiplyHueAndSaturation", ()),
+    ("Rotate", ()),
+    ("Resize", ("Scale",)),
+    ("MotionBlur", ()),
+    ("MedianBlur", ()),
+    ("HistogramEqualization", ("AllChannelsHistogramEqualization",)),
     # meta-augmenters (children validated recursively at parse time)
     ("Sometimes", ()),
     ("SomeOf", ()),

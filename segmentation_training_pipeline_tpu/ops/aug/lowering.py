@@ -163,6 +163,16 @@ def _coerce_block(spec) -> List[Dict[str, Any]]:
                 f"children, got {entry!r}")
         else:
             raise ValueError(f"bad augmentation entry {entry!r}")
+    # Rotate is pure sugar for Affine {rotate: ...} (imgaug defines it the
+    # same way) — rewriting here keeps it fusable into geo warp runs and
+    # valid inside meta-augmenter children
+    for e in out:
+        if e["name"].lower() == "rotate":
+            a = e["args"]
+            if isinstance(a, dict) and "rotate" not in a:
+                a = a.get("value", [-30, 30])
+            e["name"] = "Affine"
+            e["args"] = {"rotate": a if a is not None else [-30, 30]}
     return out
 
 
@@ -932,6 +942,50 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         a = args if not isinstance(args, dict) else args.get("p", 0.05)
         k1, k2 = jax.random.split(k)
         imgs = ph.salt_and_pepper(k2, imgs, _sample(k1, a, b, 0.05))
+    elif name == "motionblur":
+        a = args if isinstance(args, dict) else {"k": args}
+        k1, k2 = jax.random.split(k)
+        kspec = a.get("k", 5)
+        try:
+            k_max = (float(kspec) if isinstance(kspec, (int, float))
+                     else max(float(v) for v in kspec))
+        except (TypeError, ValueError):
+            k_max = 7.0
+        radius = int(min(max(1, math.ceil((k_max - 1) / 2)), 64))
+        imgs = ph.motion_blur(imgs, _sample(k1, kspec, b, 5.0),
+                              _sample(k2, a.get("angle", [0, 360]), b),
+                              radius=radius)
+    elif name == "medianblur":
+        a = args if not isinstance(args, dict) else args.get("k", 3)
+        if not isinstance(a, (int, float)):
+            raise ValueError(
+                "MedianBlur k must be a static odd scalar here (per-image "
+                "sampled widths would need data-dependent sort extents); "
+                f"got {a!r} — see docs/schema.md deviations")
+        imgs = ph.median_blur(imgs, ksize=int(a))
+    elif name in ("histogramequalization",
+                  "allchannelshistogramequalization"):
+        imgs = ph.histogram_equalization(imgs)
+    elif name in ("resize", "scale"):
+        a = args if not isinstance(args, dict) else \
+            args.get("size", args.get("percent", 1.0))
+        if not isinstance(a, (int, float)):
+            raise ValueError(
+                "Resize/Scale takes a static scalar factor here (XLA "
+                "shapes are static; stochastic sizes can't lower) — use "
+                "Affine {scale: ...} for zoom jitter; see docs/schema.md")
+        f = float(a)
+        if f != 1.0:
+            bsz, h, w, c = imgs.shape
+            nh, nw = max(1, int(round(h * f))), max(1, int(round(w * f)))
+            # down (or up) then back to the static shape: content keeps
+            # its position; f<1 is the classic resolution-degradation aug
+            imgs = jax.image.resize(imgs, (bsz, nh, nw, c), "bilinear")
+            imgs = jax.image.resize(imgs, (bsz, h, w, c), "bilinear")
+            mshape = masks.shape
+            m = jax.image.resize(masks.astype(jnp.float32),
+                                 (mshape[0], nh, nw, mshape[3]), "nearest")
+            masks = jax.image.resize(m, mshape, "nearest").astype(masks.dtype)
     else:
         raise KeyError(f"augmenter {s['name']!r} has no lowering")
     return imgs, masks

@@ -264,3 +264,78 @@ def coarse_dropout(rng: Array, images: Array, p: Array,
     keep = jax.random.uniform(rng, (b, gh, gw, 1)) >= p[:, None, None, None]
     mask = jax.image.resize(keep.astype(jnp.float32), (b, h, w, 1), "nearest")
     return images * mask
+
+
+def _depthwise_kxk(img: Array, k2d: Array, radius: int) -> Array:
+    """Reflect-padded depthwise (2r+1)² conv of one (H, W, C) image."""
+    c = img.shape[-1]
+    kern = jnp.tile(k2d[:, :, None, None], (1, 1, 1, c))
+    pad = jnp.pad(img, ((radius, radius), (radius, radius), (0, 0)),
+                  mode="reflect")
+    return jax.lax.conv_general_dilated(
+        pad[None], kern, (1, 1), "VALID", feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+
+
+def motion_blur(images: Array, k: Array, angle: Array,
+                radius: int = 3) -> Array:
+    """imgaug MotionBlur: k×k kernel with a 1-px anti-aliased line through
+    the center at ``angle`` degrees (imgaug draws a vertical center column
+    and rotates it — angle 0 blurs vertically, 90 horizontally),
+    normalized to sum 1.  ``k``/``angle`` are (B,) per-image samples; the
+    kernel canvas is static (2·radius+1)² with taps beyond the per-image
+    half-length masked to zero — no data-dependent shapes."""
+    coords = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(coords, coords, indexing="ij")  # (K, K)
+    half = jnp.clip(jnp.floor((k - 1.0) / 2.0 + 0.5), 1, radius)  # (B,)
+    a = angle * (jnp.pi / 180.0)
+    # vertical baseline rotated by `angle` (x right, y down)
+    dx, dy = jnp.sin(a), jnp.cos(a)  # (B,)
+    proj = gx[None] * dx[:, None, None] + gy[None] * dy[:, None, None]
+    perp = jnp.abs(gx[None] * dy[:, None, None] - gy[None] * dx[:, None, None])
+    # integer taps with |proj| <= half carry full weight (cv2 draws the
+    # line hard); the anti-aliasing lives in the perpendicular falloff
+    w = jnp.clip(1.0 - perp, 0.0, 1.0) * \
+        jnp.clip(half[:, None, None] + 1.0 - jnp.abs(proj), 0.0, 1.0)
+    w = w / jnp.maximum(w.sum(axis=(1, 2), keepdims=True), 1e-8)  # (B, K, K)
+    return jax.vmap(lambda img, ker: _depthwise_kxk(img, ker, radius))(
+        images, w)
+
+
+def median_blur(images: Array, ksize: int = 3) -> Array:
+    """cv2/imgaug MedianBlur with STATIC odd ``ksize`` (replicate border):
+    the k² shifted copies stack on a new axis and a 9-/25-element sort
+    takes the middle — XLA lowers the small fixed-size sort efficiently;
+    no data-dependent control flow."""
+    if ksize <= 1:
+        return images
+    r = ksize // 2
+    pad = jnp.pad(images, ((0, 0), (r, r), (r, r), (0, 0)), mode="edge")
+    h, w = images.shape[1], images.shape[2]
+    taps = [pad[:, dy:dy + h, dx:dx + w, :]
+            for dy in range(ksize) for dx in range(ksize)]
+    stack = jnp.stack(taps, axis=-1)  # (B, H, W, C, k²)
+    return jnp.sort(stack, axis=-1)[..., (ksize * ksize) // 2]
+
+
+def histogram_equalization(images: Array) -> Array:
+    """cv2.equalizeHist per channel (imgaug
+    AllChannelsHistogramEqualization): 256-bin histogram → cdf →
+    ``lut[v] = round((cdf[v] − cdf_min) / (N − cdf_min) · 255)``.
+    Deviation (docs/schema.md): plain ``HistogramEqualization`` in imgaug
+    equalizes the Lab L-channel; here every channel equalizes
+    independently."""
+    b, h, w, c = images.shape
+    v = jnp.clip(jnp.round(images), 0, 255).astype(jnp.int32)
+    flat = v.transpose(0, 3, 1, 2).reshape(b, c, h * w)  # (B, C, N)
+    hist = jax.vmap(jax.vmap(
+        lambda x: jnp.bincount(x, length=256)))(flat)  # (B, C, 256)
+    cdf = jnp.cumsum(hist, axis=-1)
+    # cdf_min = cdf at the lowest OCCUPIED bin (cv2 skips empty bins)
+    cdf_min = jnp.min(jnp.where(hist > 0, cdf, h * w + 1),
+                      axis=-1, keepdims=True)
+    denom = jnp.maximum(h * w - cdf_min, 1)
+    lut = jnp.clip(jnp.round((cdf - cdf_min) * 255.0 / denom), 0, 255)
+    out = jax.vmap(jax.vmap(lambda l, x: l[x]))(
+        lut.astype(jnp.float32), flat)  # (B, C, N)
+    return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)

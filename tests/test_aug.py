@@ -443,3 +443,79 @@ class TestBlurAndPoisson:
             FW.warp_joint_multipass = orig
         d = np.abs(np.asarray(oi) - np.asarray(ri))
         assert (d > 1.0).sum() == 0, f"{(d > 1.0).sum()} px clipped"
+
+
+class TestBatch3Augmenters:
+    """Round-3 surface batch (VERDICT r2 item 7): Rotate sugar, Resize,
+    MotionBlur, MedianBlur, HistogramEqualization."""
+
+    def test_rotate_is_affine_rotate_sugar(self):
+        imgs, masks = _imgs(h=17, w=17), _masks(h=17, w=17)
+        a, am = _run([("Rotate", [10, 10])], imgs, masks, seed=5)
+        b, bm = _run([("Affine", {"rotate": [10, 10]})], imgs, masks, seed=5)
+        np.testing.assert_allclose(a, b, atol=1e-4)
+        np.testing.assert_array_equal(am, bm)
+        # and it actually rotates
+        assert np.abs(a - imgs.astype(np.float32)).mean() > 1.0
+
+    def test_motionblur_angle0_blurs_vertically_only(self):
+        # image varying only along y: vertical blur mixes rows -> changes;
+        # image varying only along x: vertical blur is identity
+        b, h, w = 2, 16, 16
+        along_x = np.tile(np.linspace(0, 255, w,
+                                      dtype=np.float32)[None, None, :, None],
+                          (b, h, 1, 3)).astype(np.uint8)
+        oi, _ = _run([("MotionBlur", {"k": 5, "angle": 0})],
+                     along_x, _masks(b, h, w))
+        inner = slice(3, -3)
+        np.testing.assert_allclose(oi[:, inner, inner],
+                                   along_x[:, inner, inner].astype(np.float32),
+                                   atol=0.51)
+
+    def test_motionblur_angle90_matches_horizontal_box(self):
+        imgs = _imgs(b=1, h=16, w=16, c=1, seed=3)
+        oi, _ = _run([("MotionBlur", {"k": 3, "angle": 90})],
+                     imgs, _masks(1, 16, 16))
+        f = imgs[0, :, :, 0].astype(np.float64)
+        want = (np.pad(f, ((0, 0), (1, 1)), mode="reflect")[:, :-2]
+                + f + np.pad(f, ((0, 0), (1, 1)), mode="reflect")[:, 2:]) / 3.0
+        np.testing.assert_allclose(oi[0, :, :, 0], want, atol=0.6)
+
+    def test_medianblur_matches_scipy(self):
+        from scipy.ndimage import median_filter
+
+        imgs = _imgs(b=2, h=12, w=12, seed=7)
+        oi, om = _run([("MedianBlur", 3)], imgs, _masks(2, 12, 12))
+        for bi in range(2):
+            for c in range(3):
+                want = median_filter(imgs[bi, :, :, c].astype(np.float32),
+                                     size=3, mode="nearest")
+                np.testing.assert_allclose(oi[bi, :, :, c], want, atol=1e-4)
+        np.testing.assert_array_equal(om, _masks(2, 12, 12))
+
+    def test_medianblur_rejects_range(self):
+        with pytest.raises(ValueError, match="static odd scalar"):
+            _run([("MedianBlur", [3, 5])], _imgs(), _masks())
+
+    def test_histogram_equalization_matches_cv2(self):
+        import cv2
+
+        imgs = _imgs(b=2, h=16, w=16, seed=9)
+        oi, _ = _run([("HistogramEqualization", None)],
+                     imgs, _masks(2, 16, 16))
+        for bi in range(2):
+            for c in range(3):
+                want = cv2.equalizeHist(imgs[bi, :, :, c]).astype(np.float32)
+                np.testing.assert_allclose(oi[bi, :, :, c], want, atol=1.0)
+
+    def test_resize_halves_then_restores_shape(self):
+        imgs, masks = _imgs(b=2, h=16, w=16), _masks(2, 16, 16)
+        oi, om = _run([("Resize", 0.5)], imgs, masks)
+        assert oi.shape == imgs.shape and om.shape == masks.shape
+        # detail is lost (low-pass) but the mean is preserved
+        assert abs(oi.mean() - imgs.astype(np.float32).mean()) < 4.0
+        assert set(np.unique(om)) <= {0.0, 1.0}  # mask stays binary
+
+    def test_resize_rejects_range(self):
+        with pytest.raises(ValueError, match="static scalar"):
+            _run([("Resize", [0.5, 1.0])], _imgs(), _masks())
