@@ -129,3 +129,66 @@ class ResNetEncoder(nn.Module):
 
 class SEResNetEncoder(ResNetEncoder):
     use_se: bool = True
+
+
+class PreactResNetEncoder(nn.Module):
+    """The reference-era Keras ResNet18/34 graph — qubvel
+    ``classification_models`` builds PRE-activation basic blocks (BN→ReLU
+    before each conv, conv shortcut taken from the pre-activated tensor on
+    every stage's first unit) with an input ``bn_data`` BatchNorm
+    (scale-free) — a DIFFERENT architecture from torchvision's post-act
+    resnets, so ``.h5`` encoder weights can only ingest into this variant
+    (models/keras_h5.py).  Flax submodule names mirror the Keras layer
+    names 1:1 to keep that converter mechanical.
+
+    Taps follow segmentation_models' default_feature_layers for
+    resnet18/34: C1 = ``relu0``, C2..C4 = ``stage{2,3,4}_unit1_relu1``
+    (the pre-activation of the NEXT stage normalizes the previous stage's
+    output at its stride), C5 = the final ``bn1``+``relu1``.  Channel
+    counts (64/64/128/256/512) equal the post-act encoder's, so every
+    decoder works unchanged.
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def norm(name, use_scale=True):
+            # keras BatchNormalization defaults (momentum .99, eps 1e-3)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                                epsilon=1e-3, use_scale=use_scale,
+                                dtype=self.dtype, name=name)
+
+        feats = []
+        y = norm("bn_data", use_scale=False)(x.astype(self.dtype))
+        y = nn.Conv(self.width, (7, 7), (2, 2), padding="SAME",
+                    use_bias=False, dtype=self.dtype, name="conv0")(y)
+        y = nn.relu(norm("bn0")(y))
+        feats.append(y)                       # C1 = relu0, stride 2
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
+        for stage, n_blocks in enumerate(self.stage_sizes):
+            features = self.width * (2 ** stage)
+            for b in range(n_blocks):
+                u = f"stage{stage + 1}_unit{b + 1}"
+                s = (2, 2) if (b == 0 and stage > 0) else (1, 1)
+                h = nn.relu(norm(f"{u}_bn1")(y))
+                if b == 0 and stage > 0:
+                    feats.append(h)           # C2..C4 = stageN_unit1_relu1
+                if b == 0:
+                    # 'post' cut: shortcut conv reads the PRE-ACTIVATED h
+                    sc = nn.Conv(features, (1, 1), s, use_bias=False,
+                                 dtype=self.dtype, name=f"{u}_sc")(h)
+                else:
+                    sc = y
+                h = nn.Conv(features, (3, 3), s, padding="SAME",
+                            use_bias=False, dtype=self.dtype,
+                            name=f"{u}_conv1")(h)
+                h = nn.relu(norm(f"{u}_bn2")(h))
+                h = nn.Conv(features, (3, 3), padding="SAME", use_bias=False,
+                            dtype=self.dtype, name=f"{u}_conv2")(h)
+                y = h + sc
+        y = nn.relu(norm("bn1")(y))
+        feats.append(y)                       # C5, stride 32
+        return feats

@@ -43,7 +43,13 @@ _DECODERS = {
 
 
 class SegmentationModel(nn.Module):
-    """encoder → decoder → dropout → 1x1 conv head (logits, float32)."""
+    """encoder → decoder → dropout → 1x1 conv head (logits, float32).
+
+    ``encoder_variant="keras-preact"`` swaps resnet18/34 for the
+    pre-activation classification_models graph — the architecture every
+    reference-era Keras ``.h5`` checkpoint was trained with (the factory
+    sets this automatically when the resolved ``encoder_weights`` file is
+    an ``.h5``; see models/keras_h5.py)."""
 
     architecture: str = "Unet"
     backbone: str = "resnet34"
@@ -51,6 +57,7 @@ class SegmentationModel(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
     remat: bool = False
+    encoder_variant: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -61,6 +68,18 @@ class SegmentationModel(nn.Module):
                 f"{sorted(set(_DECODERS))}"
             )
         enc_cls, enc_kw = encoder_spec(self.backbone)
+        if self.encoder_variant == "keras-preact":
+            from .encoders.resnet import PreactResNetEncoder
+
+            if self.backbone not in ("resnet18", "resnet34"):
+                raise KeyError(
+                    "encoder_variant='keras-preact' only applies to "
+                    f"resnet18/34, got {self.backbone!r}")
+            enc_cls = PreactResNetEncoder
+            enc_kw = dict(stage_sizes=enc_kw["stage_sizes"])
+        elif self.encoder_variant:
+            raise KeyError(
+                f"unknown encoder_variant {self.encoder_variant!r}")
         dec_cls = _DECODERS[arch]
         dec_kw = {}
         if self.remat:
@@ -88,7 +107,8 @@ class SegmentationModel(nn.Module):
 
 def create_model(architecture: str, backbone: str, classes: int = 1,
                  dropout: float = 0.0, dtype: str = "bfloat16",
-                 remat: bool = False) -> SegmentationModel:
+                 remat: bool = False,
+                 encoder_variant: str = "") -> SegmentationModel:
     jdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
               "float16": jnp.float16}[dtype]
     return SegmentationModel(
@@ -98,7 +118,23 @@ def create_model(architecture: str, backbone: str, classes: int = 1,
         dropout=dropout,
         dtype=jdtype,
         remat=remat,
+        encoder_variant=encoder_variant,
     )
+
+
+def _variant_for_config(cfg) -> str:
+    """Keras ``.h5`` resnet18/34 weights imply the preact graph — decide
+    at model-build time so the weights ingest 1:1.  Deterministic across
+    fit/predict as long as the weights file stays resolvable (documented
+    in docs/schema.md)."""
+    spec = getattr(cfg, "encoder_weights", None)
+    if spec and cfg.backbone in ("resnet18", "resnet34"):
+        from .pretrained import resolve_pretrained_path
+
+        path = resolve_pretrained_path(cfg.backbone, spec, quiet=True)
+        if path and path.endswith((".h5", ".hdf5")):
+            return "keras-preact"
+    return ""
 
 
 def model_from_config(cfg) -> SegmentationModel:
@@ -109,6 +145,7 @@ def model_from_config(cfg) -> SegmentationModel:
         dropout=cfg.dropout,
         dtype=cfg.dtype,
         remat=cfg.remat,
+        encoder_variant=_variant_for_config(cfg),
     )
 
 

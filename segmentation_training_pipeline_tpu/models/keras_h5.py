@@ -1,0 +1,255 @@
+"""Keras ``.h5`` encoder weight ingestion (VERDICT r2 item 3).
+
+A user migrating from the reference holds HDF5 encoder weights saved by
+Keras (``segmentation_models``/``classification_models``/
+``keras.applications`` — SURVEY.md §2b Keras/TF row).  This module reads
+the Keras HDF5 layout (top-level or ``model_weights`` group, layer groups
+with ``weight_names`` attrs) and converts into the Flax encoder trees:
+
+* **resnet18/34** → the :class:`PreactResNetEncoder` variant
+  (classification_models' pre-activation graph; the factory selects it
+  automatically when the resolved weights file is ``.h5``);
+* **vgg16/19** → keras.applications naming (``block{i}_conv{j}``); conv
+  biases fold EXACTLY into the encoder's BatchNorm
+  (mean ← −bias, var ← 1−eps so the BN is arithmetically the identity
+  plus bias);
+* **mobilenetv2** → keras.applications naming (``Conv1`` /
+  ``block_{i}_{expand,depthwise,project}`` / ``Conv_1``).
+
+Keras Conv kernels are already HWIO (no transpose); DepthwiseConv2D
+kernels are (H, W, C, 1) and transpose to Flax's grouped-conv (H, W, 1, C).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from .pretrained import PretrainedWeightsError, jax_to_np
+
+
+def read_h5_weights(path: str) -> Dict[str, Dict[str, np.ndarray]]:
+    """Keras HDF5 → ``{layer_name: {short_weight_name: array}}``.
+
+    Handles both save flavors (weights-only files with layers at top level;
+    full-model saves under ``model_weights``).  Weight keys are shortened
+    to their last path component without the ``:0`` suffix (``kernel``,
+    ``bias``, ``gamma``, ``beta``, ``moving_mean``, ``moving_variance``,
+    ``depthwise_kernel``).
+    """
+    try:
+        import h5py
+    except ImportError as e:  # pragma: no cover
+        raise PretrainedWeightsError(
+            "h5py is required to read Keras .h5 weights") from e
+
+    def _s(x):
+        return x.decode() if isinstance(x, bytes) else str(x)
+
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    with h5py.File(path, "r") as f:
+        g = f["model_weights"] if "model_weights" in f else f
+        if "layer_names" not in g.attrs:
+            raise PretrainedWeightsError(
+                f"{path}: no layer_names attr — not a Keras weights file?")
+        for lname in [_s(n) for n in g.attrs["layer_names"]]:
+            lg = g[lname]
+            weights: Dict[str, np.ndarray] = {}
+            for wname in [_s(n) for n in lg.attrs.get("weight_names", [])]:
+                short = wname.split("/")[-1].split(":")[0]
+                weights[short] = np.asarray(lg[wname])
+            if weights:
+                out[lname] = weights
+    return out
+
+
+def _put_kernel(layers, lname: str, dst: Dict[str, Any],
+                key: str = "kernel", depthwise: bool = False):
+    if lname not in layers or key not in layers[lname]:
+        raise PretrainedWeightsError(f"h5 is missing layer {lname!r} ({key})")
+    w = layers[lname][key]
+    if depthwise:
+        w = np.transpose(w, (0, 1, 3, 2))  # (H,W,C,1) → (H,W,1,C)
+    tgt = dst["kernel"]
+    if tuple(tgt.shape) != w.shape:
+        raise PretrainedWeightsError(
+            f"{lname}: shape {w.shape} != target {tuple(tgt.shape)}")
+    dst["kernel"] = w.astype(tgt.dtype)
+
+
+def _put_bn(layers, lname: str, dst_p: Dict[str, Any],
+            dst_s: Dict[str, Any]):
+    if lname not in layers:
+        raise PretrainedWeightsError(f"h5 is missing BN layer {lname!r}")
+    lw = layers[lname]
+    pairs = [("gamma", dst_p, "scale"), ("beta", dst_p, "bias"),
+             ("moving_mean", dst_s, "mean"),
+             ("moving_variance", dst_s, "var")]
+    for kkey, tree, fkey in pairs:
+        if fkey not in tree:
+            if kkey == "gamma":   # scale-free BN (bn_data) has no gamma
+                continue
+            raise PretrainedWeightsError(f"{lname}: encoder BN lacks {fkey}")
+        v = lw.get(kkey)
+        if v is None:
+            raise PretrainedWeightsError(f"{lname}: h5 BN lacks {kkey}")
+        tgt = tree[fkey]
+        if tuple(tgt.shape) != v.shape:
+            raise PretrainedWeightsError(
+                f"{lname}.{kkey}: shape {v.shape} != {tuple(tgt.shape)}")
+        tree[fkey] = v.astype(tgt.dtype)
+
+
+# ---------------------------------------------------------------------------
+# classification_models preact resnet18/34
+# ---------------------------------------------------------------------------
+
+def convert_h5_resnet_preact(layers, params_enc, stats_enc) -> Tuple[Dict, Dict]:
+    """classification_models resnet18/34 h5 → PreactResNetEncoder tree.
+    Flax submodule names mirror the Keras layer names, so this walks the
+    target tree and pulls the same-named layer from the h5."""
+    import copy
+
+    if "bn_data" not in layers or "conv0" not in layers:
+        raise PretrainedWeightsError(
+            "h5 has no bn_data/conv0 layers — not a classification_models "
+            "preact resnet?  (torchvision-style resnets use .pt weights)")
+    params = copy.deepcopy(jax_to_np(params_enc))
+    stats = copy.deepcopy(jax_to_np(stats_enc))
+    for name, sub in params.items():
+        if "kernel" in sub:
+            _put_kernel(layers, name, sub)
+        else:  # BatchNorm
+            _put_bn(layers, name, sub, stats[name])
+    # depth check: every stage unit present in the h5 must exist in the tree
+    import re
+    h5_units = {m.group(0) for ln in layers
+                if (m := re.match(r"stage\d+_unit\d+", ln))}
+    enc_units = {m.group(0) for ln in params
+                 if (m := re.match(r"stage\d+_unit\d+", ln))}
+    if h5_units - enc_units:
+        raise PretrainedWeightsError(
+            f"h5 has units the encoder lacks: {sorted(h5_units - enc_units)}"
+            " — wrong resnet depth (18 vs 34)?")
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# keras.applications VGG16/19
+# ---------------------------------------------------------------------------
+
+def convert_h5_vgg(layers, params_enc, stats_enc) -> Tuple[Dict, Dict]:
+    """keras.applications ``block{i}_conv{j}`` naming → VGGEncoder.
+
+    The Keras VGG has conv biases and no BN; the encoder runs BN after each
+    conv.  The bias folds into the (otherwise untrained) BN exactly:
+    mean ← −bias, var ← 1 − eps, scale ← 1, beta ← 0 gives
+    ``(x+b−0)·1/√((1−eps)+eps) = x + b`` bit-exactly in fp32.
+    """
+    import copy
+
+    if "block1_conv1" not in layers:
+        raise PretrainedWeightsError(
+            "h5 has no block1_conv1 — not a keras.applications vgg?")
+    params = copy.deepcopy(jax_to_np(params_enc))
+    stats = copy.deepcopy(jax_to_np(stats_enc))
+
+    stage = 1
+    while f"stage{stage}_conv1" in params:
+        c = 1
+        while f"stage{stage}_conv{c}" in params:
+            lname = f"block{stage}_conv{c}"
+            dst = params[f"stage{stage}_conv{c}"]
+            _put_kernel(layers, lname, dst)
+            bias = layers[lname].get("bias")
+            if bias is None:
+                raise PretrainedWeightsError(f"{lname}: h5 conv has no bias")
+            bn_name = f"stage{stage}_bn{c}"
+            if bn_name in params:  # fold the bias into the identity BN
+                bn_p, bn_s = params[bn_name], stats[bn_name]
+                if tuple(bn_s["mean"].shape) != bias.shape:
+                    raise PretrainedWeightsError(
+                        f"{lname}.bias: shape {bias.shape} != "
+                        f"{tuple(bn_s['mean'].shape)}")
+                eps = 1e-5  # VGGEncoder's BN epsilon
+                bn_s["mean"] = (-bias).astype(bn_s["mean"].dtype)
+                bn_s["var"] = np.full_like(bn_s["var"], 1.0 - eps)
+                bn_p["scale"] = np.ones_like(bn_p["scale"])
+                bn_p["bias"] = np.zeros_like(bn_p["bias"])
+            elif "bias" in dst:
+                dst["bias"] = bias.astype(dst["bias"].dtype)
+            c += 1
+        stage += 1
+    n_h5 = sum(1 for ln in layers if ln.startswith("block")
+               and "_conv" in ln)
+    n_enc = sum(1 for ln in params if "_conv" in ln)
+    if n_h5 != n_enc:
+        raise PretrainedWeightsError(
+            f"vgg depth mismatch: h5 has {n_h5} convs, encoder {n_enc} "
+            "(vgg16 vs vgg19?)")
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# keras.applications MobileNetV2
+# ---------------------------------------------------------------------------
+
+def convert_h5_mobilenetv2(layers, params_enc, stats_enc) -> Tuple[Dict, Dict]:
+    """keras.applications MobileNetV2 naming → MobileNetV2Encoder."""
+    import copy
+
+    if "Conv1" not in layers:
+        raise PretrainedWeightsError(
+            "h5 has no Conv1 layer — not a keras.applications mobilenetv2?")
+    params = copy.deepcopy(jax_to_np(params_enc))
+    stats = copy.deepcopy(jax_to_np(stats_enc))
+
+    _put_kernel(layers, "Conv1", params["stem_conv"])
+    _put_bn(layers, "bn_Conv1", params["stem_bn"], stats["stem_bn"])
+
+    bi = 0
+    while f"block{bi}" in params:
+        blk_p, blk_s = params[f"block{bi}"], stats[f"block{bi}"]
+        prefix = "expanded_conv" if bi == 0 else f"block_{bi}"
+        if "expand" in blk_p:
+            _put_kernel(layers, f"{prefix}_expand", blk_p["expand"])
+            _put_bn(layers, f"{prefix}_expand_BN", blk_p["expand_bn"],
+                    blk_s["expand_bn"])
+        elif f"{prefix}_expand" in layers:
+            raise PretrainedWeightsError(
+                f"h5 has {prefix}_expand but encoder block{bi} has no "
+                "expand conv — block layout mismatch")
+        _put_kernel(layers, f"{prefix}_depthwise", blk_p["depthwise"],
+                    key="depthwise_kernel", depthwise=True)
+        _put_bn(layers, f"{prefix}_depthwise_BN", blk_p["dw_bn"],
+                blk_s["dw_bn"])
+        _put_kernel(layers, f"{prefix}_project", blk_p["project"])
+        _put_bn(layers, f"{prefix}_project_BN", blk_p["project_bn"],
+                blk_s["project_bn"])
+        bi += 1
+    if f"block_{bi}_depthwise" in layers:
+        raise PretrainedWeightsError(
+            f"h5 has block_{bi} but the encoder ends at block{bi - 1} — "
+            "depth mismatch")
+    _put_kernel(layers, "Conv_1", params["head_conv"])
+    _put_bn(layers, "Conv_1_bn", params["head_bn"], stats["head_bn"])
+    return params, stats
+
+
+def keras_converter_for(backbone: str):
+    if backbone in ("resnet18", "resnet34"):
+        return convert_h5_resnet_preact
+    if backbone.startswith("vgg"):
+        return convert_h5_vgg
+    if backbone == "mobilenetv2":
+        return convert_h5_mobilenetv2
+    raise PretrainedWeightsError(
+        f"Keras .h5 conversion covers resnet18/34 (preact), vgg16/19 and "
+        f"mobilenetv2; got backbone {backbone!r} — export the weights to "
+        "torch .pt or npz instead")
+
+
+def load_h5_into(path: str, backbone: str, params_enc, stats_enc):
+    layers = read_h5_weights(path)
+    return keras_converter_for(backbone)(layers, params_enc, stats_enc)

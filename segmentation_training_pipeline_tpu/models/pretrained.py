@@ -727,35 +727,50 @@ def torch_converter_for(backbone: str):
         f"no torch-format converter for backbone {backbone!r} "
         f"(use npz export instead)")
 
-def load_encoder_weights(backbone: str, spec: str,
-                         variables: Dict[str, Any]) -> Optional[Dict[str, Any]]:
-    """Resolve ``encoder_weights`` config → new variables (or None if the
-    spec was 'imagenet' and no local file exists)."""
-    path = spec
+def resolve_pretrained_path(backbone: str, spec: str,
+                            quiet: bool = False) -> Optional[str]:
+    """``encoder_weights`` spec → weights file path, or None when a named
+    spec ('imagenet' …) has no local file.  Shared by the loader below and
+    the model factory (which must know BEFORE building whether a Keras
+    ``.h5`` is in play — resnet18/34 h5 weights require the pre-activation
+    encoder variant)."""
+    if not spec:
+        return None
     if spec in ("imagenet", "imagenet21k", "pascal_voc"):
         root = os.environ.get(
             "STP_PRETRAINED_DIR",
             os.path.join(os.path.expanduser("~"), ".cache", "stp_pretrained"))
-        for ext in (".pt", ".pth", ".npz"):
+        for ext in (".pt", ".pth", ".h5", ".npz"):
             cand = os.path.join(root, backbone + ext)
             if os.path.exists(cand):
-                path = cand
-                break
-        else:
-            msg = (
-                f"encoder_weights={spec!r} requested but no local weights "
-                f"found under {root} for backbone {backbone!r}; training "
-                "from scratch.  Drop a torchvision-style state dict at "
-                f"{os.path.join(root, backbone + '.pt')} to enable.")
-            # Strict mode (VERDICT r2 weak 5): a user expecting reference
-            # accuracy parity should not silently train from scratch.
-            if os.environ.get("STP_REQUIRE_PRETRAINED", "").strip() not in (
-                    "", "0", "false"):
-                raise PretrainedWeightsError(
-                    msg + "  (STP_REQUIRE_PRETRAINED is set: erroring "
-                    "instead of degrading to random init.)")
-            warnings.warn(msg)
+                return cand
+        if quiet:
             return None
+        msg = (
+            f"encoder_weights={spec!r} requested but no local weights "
+            f"found under {root} for backbone {backbone!r}; training "
+            "from scratch.  Drop a torchvision-style state dict at "
+            f"{os.path.join(root, backbone + '.pt')} (or a Keras .h5) "
+            "to enable.")
+        # Strict mode (VERDICT r2 weak 5): a user expecting reference
+        # accuracy parity should not silently train from scratch.
+        if os.environ.get("STP_REQUIRE_PRETRAINED", "").strip() not in (
+                "", "0", "false"):
+            raise PretrainedWeightsError(
+                msg + "  (STP_REQUIRE_PRETRAINED is set: erroring "
+                "instead of degrading to random init.)")
+        warnings.warn(msg)
+        return None
+    return spec
+
+
+def load_encoder_weights(backbone: str, spec: str,
+                         variables: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+    """Resolve ``encoder_weights`` config → new variables (or None if the
+    spec was 'imagenet' and no local file exists)."""
+    path = resolve_pretrained_path(backbone, spec)
+    if path is None:
+        return None
     if not os.path.exists(path):
         raise PretrainedWeightsError(f"encoder weights file not found: {path}")
 
@@ -763,6 +778,10 @@ def load_encoder_weights(backbone: str, spec: str,
     stats_enc = variables.get("batch_stats", {}).get("encoder", {})
     if path.endswith(".npz"):
         new_p, new_s = _load_npz_into(path, params_enc, stats_enc)
+    elif path.endswith((".h5", ".hdf5")):
+        from .keras_h5 import load_h5_into
+
+        new_p, new_s = load_h5_into(path, backbone, params_enc, stats_enc)
     elif path.endswith((".pt", ".pth")):
         import torch
 
@@ -775,7 +794,7 @@ def load_encoder_weights(backbone: str, spec: str,
                                                      stats_enc)
     else:
         raise PretrainedWeightsError(
-            f"unsupported weights format: {path} (want .pt/.pth/.npz)")
+            f"unsupported weights format: {path} (want .pt/.pth/.h5/.npz)")
 
     out = dict(variables)
     out_params = dict(variables["params"])

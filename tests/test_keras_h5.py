@@ -1,0 +1,269 @@
+"""Keras .h5 encoder ingestion (VERDICT r2 item 3): golden-logit tests.
+
+A reference-era ``.h5`` dropped into STP_PRETRAINED_DIR must load.  The
+oracles (tests/torch_oracles.py) reimplement the Keras graphs in torch;
+their weights are exported into REAL Keras-HDF5 files (layer_names /
+weight_names attrs, HWIO kernels) and ingested through the public
+``load_encoder_weights`` path, then all five feature taps must agree.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+h5py = pytest.importorskip("h5py")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from segmentation_training_pipeline_tpu.models.encoders import (  # noqa: E402
+    build_encoder,
+)
+from segmentation_training_pipeline_tpu.models.encoders.resnet import (  # noqa: E402
+    PreactResNetEncoder,
+)
+from segmentation_training_pipeline_tpu.models.keras_h5 import (  # noqa: E402
+    load_h5_into,
+    read_h5_weights,
+)
+from segmentation_training_pipeline_tpu.models.pretrained import (  # noqa: E402
+    PretrainedWeightsError,
+)
+
+from torch_oracles import (  # noqa: E402
+    TorchKerasVGG,
+    TorchPreactResNet,
+    randomize_,
+)
+
+
+def write_keras_h5(path, layers):
+    """layers: [(layer_name, [(weight_name, array), ...]), ...] — emits the
+    exact attr layout Keras writes."""
+    with h5py.File(path, "w") as f:
+        f.attrs["layer_names"] = np.array(
+            [ln.encode() for ln, _ in layers])
+        for lname, ws in layers:
+            g = f.create_group(lname)
+            g.attrs["weight_names"] = np.array(
+                [wn.encode() for wn, _ in ws])
+            for wn, arr in ws:
+                g.create_dataset(wn, data=np.asarray(arr, np.float32))
+
+
+def _t(w):  # torch OIHW conv kernel → keras HWIO
+    return np.transpose(w.detach().numpy(), (2, 3, 1, 0))
+
+
+def _bn_ws(mod, name, scale=True):
+    ws = []
+    if scale:
+        ws.append((f"{name}/gamma:0", mod.weight.detach().numpy()))
+    ws += [(f"{name}/beta:0", mod.bias.detach().numpy()),
+           (f"{name}/moving_mean:0", mod.running_mean.numpy()),
+           (f"{name}/moving_variance:0", mod.running_var.numpy())]
+    return ws
+
+
+def _export_preact_h5(oracle, path):
+    layers = []
+    for name, mod in oracle.named_children():
+        if isinstance(mod, torch.nn.Conv2d):
+            layers.append((name, [(f"{name}/kernel:0", _t(mod.weight))]))
+        elif isinstance(mod, torch.nn.BatchNorm2d):
+            layers.append((name, _bn_ws(mod, name, scale=(name != "bn_data"))))
+    write_keras_h5(path, layers)
+
+
+def test_preact_resnet34_matches_keras_h5_oracle(tmp_path):
+    oracle = TorchPreactResNet(stage_sizes=(3, 4, 6, 3)).eval()
+    randomize_(oracle, seed=13)
+    with torch.no_grad():  # bn_data is scale-free in the Keras graph
+        oracle.bn_data.weight.fill_(1.0)
+
+    rng = np.random.RandomState(4)
+    x = rng.rand(1, 65, 65, 3).astype(np.float32)
+    with torch.no_grad():
+        want = [t.numpy() for t in
+                oracle(torch.from_numpy(x.transpose(0, 3, 1, 2)))]
+
+    path = str(tmp_path / "resnet34.h5")
+    _export_preact_h5(oracle, path)
+
+    enc = PreactResNetEncoder(stage_sizes=(3, 4, 6, 3), dtype=jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    new_p, new_s = load_h5_into(path, "resnet34", variables["params"],
+                                variables["batch_stats"])
+    got = enc.apply({"params": new_p, "batch_stats": new_s},
+                    jnp.asarray(x), train=False)
+
+    assert len(got) == len(want) == 5
+    for i, (g, w) in enumerate(zip(got, want)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        assert g.shape == w.shape, f"tap C{i+1}: {g.shape} vs {w.shape}"
+        np.testing.assert_allclose(
+            g, w, rtol=1e-3, atol=2e-3,
+            err_msg=f"preact tap C{i+1} diverged from the Keras-h5 oracle")
+
+
+def test_preact_depth_mismatch_raises(tmp_path):
+    oracle = TorchPreactResNet(stage_sizes=(2, 2, 2, 2)).eval()  # resnet18
+    path = str(tmp_path / "resnet18.h5")
+    _export_preact_h5(oracle, path)
+    enc = PreactResNetEncoder(stage_sizes=(3, 4, 6, 3), dtype=jnp.float32)
+    x = np.zeros((1, 65, 65, 3), np.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    with pytest.raises(PretrainedWeightsError):
+        load_h5_into(path, "resnet34", variables["params"],
+                     variables["batch_stats"])
+
+
+def test_vgg16_h5_bias_fold_exact(tmp_path):
+    oracle = TorchKerasVGG().eval()
+    randomize_(oracle, seed=17)
+
+    layers = []
+    for name, mod in oracle.named_children():
+        layers.append((name, [(f"{name}/kernel:0", _t(mod.weight)),
+                              (f"{name}/bias:0",
+                               mod.bias.detach().numpy())]))
+    path = str(tmp_path / "vgg16.h5")
+    write_keras_h5(path, layers)
+
+    rng = np.random.RandomState(5)
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)  # 2x2 pools: any even size
+    with torch.no_grad():
+        want = [t.numpy() for t in
+                oracle(torch.from_numpy(x.transpose(0, 3, 1, 2)))]
+
+    enc = build_encoder("vgg16", dtype=jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    new_p, new_s = load_h5_into(path, "vgg16", variables["params"],
+                                variables["batch_stats"])
+    got = enc.apply({"params": new_p, "batch_stats": new_s},
+                    jnp.asarray(x), train=False)
+    for i, (g, w) in enumerate(zip(got, want)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        # the fold itself is arithmetically exact; the tolerance covers
+        # XLA-vs-torch fp32 accumulation order through 13 convs
+        np.testing.assert_allclose(
+            g, w, rtol=1e-3, atol=1e-2,
+            err_msg=f"vgg tap C{i+1}: BN bias-fold diverged")
+
+
+def test_vgg_depth_mismatch_raises(tmp_path):
+    oracle = TorchKerasVGG().eval()  # vgg16 (13 convs)
+    layers = [(n, [(f"{n}/kernel:0", _t(m.weight)),
+                   (f"{n}/bias:0", m.bias.detach().numpy())])
+              for n, m in oracle.named_children()]
+    path = str(tmp_path / "vgg16.h5")
+    write_keras_h5(path, layers)
+    enc = build_encoder("vgg19", dtype=jnp.float32)
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    with pytest.raises(PretrainedWeightsError, match="depth|missing"):
+        load_h5_into(path, "vgg19", variables["params"],
+                     variables["batch_stats"])
+
+
+def test_mobilenetv2_h5_roundtrip(tmp_path):
+    """Build the Keras h5 FROM the encoder's own (randomized) tree with
+    keras.applications naming, ingest it, and require exact equality —
+    catches name-mapping and depthwise-transpose bugs."""
+    enc = build_encoder("mobilenetv2", dtype=jnp.float32)
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    variables = enc.init(jax.random.PRNGKey(3), jnp.asarray(x), train=False)
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+    r = np.random.RandomState(0)
+    params = jax.tree.map(lambda a: r.randn(*a.shape).astype(np.float32),
+                          params)
+    stats = jax.tree.map(
+        lambda a: np.abs(r.randn(*a.shape)).astype(np.float32) + 0.1, stats)
+
+    def bn_ws(name, p, s):
+        return (name, [(f"{name}/gamma:0", p["scale"]),
+                       (f"{name}/beta:0", p["bias"]),
+                       (f"{name}/moving_mean:0", s["mean"]),
+                       (f"{name}/moving_variance:0", s["var"])])
+
+    layers = [("Conv1", [("Conv1/kernel:0", params["stem_conv"]["kernel"])]),
+              bn_ws("bn_Conv1", params["stem_bn"], stats["stem_bn"])]
+    bi = 0
+    while f"block{bi}" in params:
+        bp, bs = params[f"block{bi}"], stats[f"block{bi}"]
+        prefix = "expanded_conv" if bi == 0 else f"block_{bi}"
+        if "expand" in bp:
+            layers.append((f"{prefix}_expand",
+                           [(f"{prefix}_expand/kernel:0",
+                             bp["expand"]["kernel"])]))
+            layers.append(bn_ws(f"{prefix}_expand_BN", bp["expand_bn"],
+                                bs["expand_bn"]))
+        layers.append((f"{prefix}_depthwise",
+                       [(f"{prefix}_depthwise/depthwise_kernel:0",
+                         np.transpose(bp["depthwise"]["kernel"],
+                                      (0, 1, 3, 2)))]))
+        layers.append(bn_ws(f"{prefix}_depthwise_BN", bp["dw_bn"],
+                            bs["dw_bn"]))
+        layers.append((f"{prefix}_project",
+                       [(f"{prefix}_project/kernel:0",
+                         bp["project"]["kernel"])]))
+        layers.append(bn_ws(f"{prefix}_project_BN", bp["project_bn"],
+                            bs["project_bn"]))
+        bi += 1
+    layers.append(("Conv_1", [("Conv_1/kernel:0",
+                               params["head_conv"]["kernel"])]))
+    layers.append(bn_ws("Conv_1_bn", params["head_bn"], stats["head_bn"]))
+
+    path = str(tmp_path / "mobilenetv2.h5")
+    write_keras_h5(path, layers)
+    new_p, new_s = load_h5_into(path, "mobilenetv2", variables["params"],
+                                variables["batch_stats"])
+    for got, want in zip(jax.tree.leaves(new_p), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(got), want)
+    for got, want in zip(jax.tree.leaves(new_s), jax.tree.leaves(stats)):
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_read_h5_rejects_non_keras(tmp_path):
+    path = str(tmp_path / "junk.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=np.zeros(3))
+    with pytest.raises(PretrainedWeightsError, match="layer_names"):
+        read_h5_weights(path)
+
+
+def test_factory_selects_preact_for_h5(tmp_path):
+    """encoder_weights → .h5 file ⇒ resnet34 builds the preact variant and
+    the full public load path ingests it."""
+    import segmentation_training_pipeline_tpu as stp
+    from segmentation_training_pipeline_tpu.models.factory import (
+        model_from_config,
+        template_variables,
+    )
+
+    oracle = TorchPreactResNet(stage_sizes=(3, 4, 6, 3)).eval()
+    randomize_(oracle, seed=19)
+    with torch.no_grad():
+        oracle.bn_data.weight.fill_(1.0)
+    path = str(tmp_path / "resnet34.h5")
+    _export_preact_h5(oracle, path)
+
+    cfg = stp.parse_dict(
+        dict(architecture="Unet", backbone="resnet34", shape=[64, 64, 3],
+             classes=1, activation="sigmoid", loss="binary_crossentropy",
+             encoder_weights=path, dtype="float32",
+             stages=[{"epochs": 1}]),
+        directory=str(tmp_path))
+    model = model_from_config(cfg)
+    assert model.encoder_variant == "keras-preact"
+    variables = template_variables(model, cfg.shape)
+    assert "bn_data" in variables["params"]["encoder"]
+
+    from segmentation_training_pipeline_tpu.models.pretrained import (
+        load_encoder_weights,
+    )
+    out = load_encoder_weights("resnet34", path, variables)
+    got = np.asarray(out["params"]["encoder"]["conv0"]["kernel"])
+    want = np.transpose(oracle.conv0.weight.detach().numpy(), (2, 3, 1, 0))
+    np.testing.assert_allclose(got, want, atol=1e-6)

@@ -531,3 +531,82 @@ class TorchXception(nn.Module):
         y = torch.relu(self.bn4(self.conv4(y)))
         feats.append(y)
         return feats
+
+
+# ---------------------------------------------------------------------------
+# classification_models pre-activation ResNet18/34 (the Keras-era graph) —
+# oracle for the .h5 ingestion path (models/keras_h5.py).  Module attribute
+# names equal the Keras layer names so the test's h5 exporter is mechanical.
+# ---------------------------------------------------------------------------
+
+class TorchPreactResNet(nn.Module):
+    def __init__(self, stage_sizes=(3, 4, 6, 3), width=64):
+        super().__init__()
+        self.stage_sizes = tuple(stage_sizes)
+        self.bn_data = nn.BatchNorm2d(3, eps=1e-3)
+        self.conv0 = nn.Conv2d(3, width, 7, 2, 3, bias=False)
+        self.bn0 = nn.BatchNorm2d(width, eps=1e-3)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        cin = width
+        for s, n in enumerate(stage_sizes):
+            f = width * (2 ** s)
+            for u in range(n):
+                p = f"stage{s + 1}_unit{u + 1}"
+                stride = 2 if (u == 0 and s > 0) else 1
+                setattr(self, f"{p}_bn1", nn.BatchNorm2d(cin, eps=1e-3))
+                if u == 0:
+                    setattr(self, f"{p}_sc",
+                            nn.Conv2d(cin, f, 1, stride, bias=False))
+                setattr(self, f"{p}_conv1",
+                        nn.Conv2d(cin, f, 3, stride, 1, bias=False))
+                setattr(self, f"{p}_bn2", nn.BatchNorm2d(f, eps=1e-3))
+                setattr(self, f"{p}_conv2",
+                        nn.Conv2d(f, f, 3, 1, 1, bias=False))
+                cin = f
+        self.bn1 = nn.BatchNorm2d(cin, eps=1e-3)
+
+    def forward(self, x):
+        feats = []
+        y = self.bn_data(x)
+        y = torch.relu(self.bn0(self.conv0(y)))
+        feats.append(y)                       # C1 = relu0
+        y = self.maxpool(y)
+        for s, n in enumerate(self.stage_sizes):
+            for u in range(n):
+                p = f"stage{s + 1}_unit{u + 1}"
+                h = torch.relu(getattr(self, f"{p}_bn1")(y))
+                if u == 0 and s > 0:
+                    feats.append(h)           # C2..C4 = stageN_unit1_relu1
+                sc = getattr(self, f"{p}_sc")(h) if u == 0 else y
+                h = getattr(self, f"{p}_conv1")(h)
+                h = torch.relu(getattr(self, f"{p}_bn2")(h))
+                h = getattr(self, f"{p}_conv2")(h)
+                y = h + sc
+        feats.append(torch.relu(self.bn1(y)))  # C5
+        return feats
+
+
+class TorchKerasVGG(nn.Module):
+    """keras.applications VGG graph (conv+bias, relu, 2x2 maxpool), with
+    taps AFTER each pool to mirror VGGEncoder's documented tap deviation."""
+
+    def __init__(self, stage_convs=(2, 2, 3, 3, 3),
+                 widths=(64, 128, 256, 512, 512)):
+        super().__init__()
+        self.stage_convs = tuple(stage_convs)
+        cin = 3
+        for s, (n, w) in enumerate(zip(stage_convs, widths)):
+            for c in range(n):
+                setattr(self, f"block{s + 1}_conv{c + 1}",
+                        nn.Conv2d(cin, w, 3, 1, 1))
+                cin = w
+
+    def forward(self, x):
+        feats = []
+        y = x
+        for s, n in enumerate(self.stage_convs):
+            for c in range(n):
+                y = torch.relu(getattr(self, f"block{s + 1}_conv{c + 1}")(y))
+            y = torch.nn.functional.max_pool2d(y, 2, 2)
+            feats.append(y)
+        return feats
