@@ -104,6 +104,10 @@ for name, aliases in [
     ("MotionBlur", ()),
     ("MedianBlur", ()),
     ("HistogramEqualization", ("AllChannelsHistogramEqualization",)),
+    ("CLAHE", ("AllChannelsCLAHE",)),
+    ("JpegCompression", ()),
+    ("Posterize", ()),
+    ("ChannelShuffle", ()),
     # meta-augmenters (children validated recursively at parse time)
     ("Sometimes", ()),
     ("SomeOf", ()),

@@ -966,6 +966,24 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
     elif name in ("histogramequalization",
                   "allchannelshistogramequalization"):
         imgs = ph.histogram_equalization(imgs)
+    elif name in ("clahe", "allchannelsclahe"):
+        a = args if isinstance(args, dict) else {"clip_limit": args}
+        grid = int(a.get("tile_grid_size", 8))
+        imgs = ph.clahe(imgs, _sample(k, a.get("clip_limit", [1, 10]),
+                                      b, 40.0), tile_grid=grid)
+    elif name == "jpegcompression":
+        a = args if isinstance(args, dict) else {"compression": args}
+        comp = _sample(k, a.get("compression", [0, 100]), b, 50.0)
+        # imgaug maps compression c → codec quality 100 − c
+        imgs = ph.jpeg_compression(imgs, 100.0 - comp)
+    elif name == "posterize":
+        a = args if not isinstance(args, dict) else args.get("nb_bits",
+                                                             [1, 8])
+        imgs = ph.posterize(imgs, _sample(k, a, b, 4.0))
+    elif name == "channelshuffle":
+        a = args if not isinstance(args, dict) else args.get("p", 1.0)
+        k1, k2 = jax.random.split(k)
+        imgs = ph.channel_shuffle(k2, imgs, _sample(k1, a, b, 1.0))
     elif name in ("resize", "scale"):
         a = args if not isinstance(args, dict) else \
             args.get("size", args.get("percent", 1.0))

@@ -12,6 +12,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -316,6 +317,193 @@ def median_blur(images: Array, ksize: int = 3) -> Array:
             for dy in range(ksize) for dx in range(ksize)]
     stack = jnp.stack(taps, axis=-1)  # (B, H, W, C, k²)
     return jnp.sort(stack, axis=-1)[..., (ksize * ksize) // 2]
+
+
+def clahe(images: Array, clip_limit: Array, tile_grid: int = 8) -> Array:
+    """cv2 CLAHE per channel (imgaug AllChannelsCLAHE): per-tile clipped
+    256-bin histogram → LUT, bilinearly interpolated between the four
+    neighbouring tile LUTs at every pixel.  ``clip_limit`` is (B,) —
+    cv2's ``clipLimit`` (counts are capped at
+    ``max(clip_limit·tile_area/256, 1)``; ≤0 disables clipping).
+
+    Deviations (docs/schema.md): ``tile_grid`` is a static grid COUNT like
+    cv2's ``tileGridSize`` (imgaug samples per-image pixel tile sizes,
+    which would be dynamic shapes); non-divisible frames pad with
+    reflect-101 like cv2; the clipped-excess redistribution follows cv2's
+    integer quotient + strided-residual scheme exactly."""
+    b, h, w, c = images.shape
+    g = int(tile_grid)
+    th, tw = -(-h // g), -(-w // g)
+    pad_h, pad_w = th * g - h, tw * g - w
+    x = images
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                    mode="reflect")
+    big_h, big_w = th * g, tw * g
+    area = th * tw
+    v = jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)
+    v = v.transpose(0, 3, 1, 2)                     # (B, C, H, W)
+    tiles = (v.reshape(b, c, g, th, g, tw)
+              .transpose(0, 1, 2, 4, 3, 5)
+              .reshape(b * c * g * g, area))
+    hist = jax.vmap(lambda r: jnp.bincount(r, length=256))(tiles)
+    hist = hist.reshape(b, c, g, g, 256).astype(jnp.float32)
+    cl = jnp.maximum(jnp.floor(clip_limit * area / 256.0), 1.0)
+    cl = jnp.where(clip_limit > 0.0, cl, float(area))  # ≤0 → no clipping
+    cl = cl[:, None, None, None, None]
+    excess = jnp.sum(jnp.maximum(hist - cl, 0.0), axis=-1, keepdims=True)
+    # cv2's exact redistribution: integer quotient to every bin, then the
+    # residual as +1 on bins 0, s, 2s, … with s = max(256//residual, 1)
+    quot = jnp.floor(excess / 256.0)
+    res = excess - 256.0 * quot
+    step = jnp.maximum(jnp.floor(256.0 / jnp.maximum(res, 1.0)), 1.0)
+    idx = jnp.arange(256, dtype=jnp.float32)
+    inc = ((jnp.mod(idx, step) == 0.0)
+           & (jnp.floor(idx / step) < res)).astype(jnp.float32)
+    hist = jnp.minimum(hist, cl) + quot + inc
+    lut = jnp.clip(jnp.round(jnp.cumsum(hist, axis=-1) * (255.0 / area)),
+                   0.0, 255.0)                      # (B, C, g, g, 256)
+
+    # bilinear interpolation between tile-center LUTs (cv2: pixels beyond
+    # the outermost centers clamp both neighbours to the border tile)
+    tyf = jnp.arange(big_h, dtype=jnp.float32) / th - 0.5
+    txf = jnp.arange(big_w, dtype=jnp.float32) / tw - 0.5
+    iy0 = jnp.floor(tyf)
+    ix0 = jnp.floor(txf)
+    wy1 = (tyf - iy0)[:, None]                      # (H, 1)
+    wx1 = (txf - ix0)[None, :]                      # (1, W)
+    iy0c = jnp.clip(iy0, 0, g - 1).astype(jnp.int32)
+    iy1c = jnp.clip(iy0 + 1, 0, g - 1).astype(jnp.int32)
+    ix0c = jnp.clip(ix0, 0, g - 1).astype(jnp.int32)
+    ix1c = jnp.clip(ix0 + 1, 0, g - 1).astype(jnp.int32)
+
+    def one(lut_bc: Array, v_bc: Array) -> Array:   # (g,g,256), (H,W)
+        def tap(iy, ix):
+            return lut_bc[iy[:, None], ix[None, :], v_bc]
+        return ((1.0 - wy1) * (1.0 - wx1) * tap(iy0c, ix0c)
+                + (1.0 - wy1) * wx1 * tap(iy0c, ix1c)
+                + wy1 * (1.0 - wx1) * tap(iy1c, ix0c)
+                + wy1 * wx1 * tap(iy1c, ix1c))
+
+    out = jax.vmap(jax.vmap(one))(lut, v.astype(jnp.int32))
+    out = jnp.round(out).transpose(0, 2, 3, 1)      # back to NHWC
+    return out[:, :h, :w, :]
+
+
+# --- JPEG compression simulation (imgaug JpegCompression) ------------------
+# Standard Annex-K quantization tables; quality scaling follows libjpeg's
+# jpeg_quality_scaling (5000/q below 50, 200-2q above).
+
+_JPEG_LUMA_Q = np.array(
+    [[16, 11, 10, 16, 24, 40, 51, 61],
+     [12, 12, 14, 19, 26, 58, 60, 55],
+     [14, 13, 16, 24, 40, 57, 69, 56],
+     [14, 17, 22, 29, 51, 87, 80, 62],
+     [18, 22, 37, 56, 68, 109, 103, 77],
+     [24, 35, 55, 64, 81, 104, 113, 92],
+     [49, 64, 78, 87, 103, 121, 120, 101],
+     [72, 92, 95, 98, 112, 100, 103, 99]], np.float32)
+
+_JPEG_CHROMA_Q = np.array(
+    [[17, 18, 24, 47, 99, 99, 99, 99],
+     [18, 21, 26, 66, 99, 99, 99, 99],
+     [24, 26, 56, 99, 99, 99, 99, 99],
+     [47, 66, 99, 99, 99, 99, 99, 99],
+     [99, 99, 99, 99, 99, 99, 99, 99],
+     [99, 99, 99, 99, 99, 99, 99, 99],
+     [99, 99, 99, 99, 99, 99, 99, 99],
+     [99, 99, 99, 99, 99, 99, 99, 99]], np.float32)
+
+
+def _dct8() -> Array:
+    """Orthonormal 8-point DCT-II matrix."""
+    n = np.arange(8, dtype=np.float64)
+    d = np.cos((2.0 * n[None, :] + 1.0) * n[:, None] * np.pi / 16.0)
+    d[0] *= np.sqrt(0.5)
+    return jnp.asarray(d * 0.5, jnp.float32)
+
+
+def _jpeg_qtable(base: np.ndarray, quality: Array) -> Array:
+    q = jnp.clip(quality, 1.0, 100.0)
+    scale = jnp.where(q < 50.0, 5000.0 / q, 200.0 - 2.0 * q)  # (B,)
+    t = jnp.floor((jnp.asarray(base)[None] * scale[:, None, None] + 50.0)
+                  / 100.0)
+    return jnp.clip(t, 1.0, 255.0)                  # (B, 8, 8)
+
+
+def _dct_quant_plane(plane: Array, qt: Array) -> Array:
+    """8×8 block DCT → quantize/dequantize → inverse, as batched einsums
+    (MXU-shaped: every 8×8 transform is a pair of small matmuls XLA maps
+    onto the systolic array).  plane (B, H, W) with H, W % 8 == 0."""
+    b, h, w = plane.shape
+    d = _dct8()
+    blocks = plane.reshape(b, h // 8, 8, w // 8, 8)
+    coef = jnp.einsum("ui,bhiwj,vj->bhuwv", d, blocks, d)
+    qb = qt[:, None, :, None, :]                    # broadcast over blocks
+    coef = jnp.round(coef / qb) * qb
+    out = jnp.einsum("ui,bhuwv,vj->bhiwj", d, coef, d)
+    return out.reshape(b, h, w)
+
+
+def jpeg_compression(images: Array, quality: Array) -> Array:
+    """imgaug JpegCompression simulated in-graph: RGB→YCbCr (BT.601
+    full-range), 4:2:0 chroma subsampling (2×2 mean down, half-pixel
+    bilinear up — exactly libjpeg's "fancy" triangle upsampling), 8×8
+    block DCT quantization with the Annex-K tables at per-image
+    ``quality`` (B,).  The entropy coding stage is lossless and therefore
+    skipped; deviations from a real codec round-trip are ≤ a few gray
+    levels (docs/schema.md)."""
+    b, h, w, c = images.shape
+    if c not in (1, 3):
+        return images
+    pad_h, pad_w = (-h) % 16, (-w) % 16
+    x = jnp.clip(images, 0.0, 255.0)
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+    big_h, big_w = h + pad_h, w + pad_w
+    q_luma = _jpeg_qtable(_JPEG_LUMA_Q, quality)
+    if c == 1:
+        out = _dct_quant_plane(x[..., 0] - 128.0, q_luma)[..., None] + 128.0
+    else:
+        r, g, bl = x[..., 0], x[..., 1], x[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bl
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0
+        q_chroma = _jpeg_qtable(_JPEG_CHROMA_Q, quality)
+        yq = _dct_quant_plane(y - 128.0, q_luma) + 128.0
+
+        def chroma(p: Array) -> Array:
+            ds = p.reshape(b, big_h // 2, 2, big_w // 2, 2).mean(axis=(2, 4))
+            dq = _dct_quant_plane(ds - 128.0, q_chroma) + 128.0
+            return jax.image.resize(dq, (b, big_h, big_w), "bilinear")
+
+        cbq, crq = chroma(cb), chroma(cr)
+        out = jnp.stack([yq + 1.402 * (crq - 128.0),
+                         yq - 0.344136 * (cbq - 128.0)
+                         - 0.714136 * (crq - 128.0),
+                         yq + 1.772 * (cbq - 128.0)], axis=-1)
+    return jnp.clip(jnp.round(out), 0.0, 255.0)[:, :h, :w, :]
+
+
+def posterize(images: Array, nb_bits: Array) -> Array:
+    """PIL/imgaug Posterize: keep the top n bits of every value
+    (``v & ~(2^(8-n)-1)`` == floor to the 2^(8-n) grid); n (B,) rounds to
+    an integer in [1, 8]."""
+    n = jnp.clip(jnp.round(nb_bits), 1.0, 8.0)[:, None, None, None]
+    step = jnp.exp2(8.0 - n)
+    return jnp.floor(jnp.clip(images, 0.0, 255.0) / step) * step
+
+
+def channel_shuffle(rng: Array, images: Array, p: Array) -> Array:
+    """imgaug ChannelShuffle: with per-image probability p, permute the
+    channel order uniformly at random (no ``channels`` subset arg —
+    docs/schema.md)."""
+    b, _, _, c = images.shape
+    k1, k2 = jax.random.split(rng)
+    perm = jnp.argsort(jax.random.uniform(k1, (b, c)), axis=1)
+    shuf = jnp.take_along_axis(images, perm[:, None, None, :], axis=-1)
+    sel = jax.random.bernoulli(k2, p, (b,))[:, None, None, None]
+    return jnp.where(sel, shuf, images)
 
 
 def histogram_equalization(images: Array) -> Array:

@@ -519,3 +519,102 @@ class TestBatch3Augmenters:
     def test_resize_rejects_range(self):
         with pytest.raises(ValueError, match="static scalar"):
             _run([("Resize", [0.5, 1.0])], _imgs(), _masks())
+
+
+class TestBatch4Augmenters:
+    """Round-3 surface batch 4 (VERDICT r2 'missing' 6 leftovers): CLAHE,
+    JpegCompression, Posterize, ChannelShuffle."""
+
+    def test_clahe_matches_cv2_exactly(self):
+        import cv2
+
+        r = np.random.RandomState(0)
+        yy, xx = np.mgrid[0:64, 0:64]
+        img = np.clip(r.randint(0, 255, (64, 64)) * 0.5 + yy + xx,
+                      0, 255).astype(np.uint8)
+        for cl, grid in [(2.0, 2), (4.0, 8), (40.0, 8)]:
+            want = cv2.createCLAHE(clipLimit=cl,
+                                   tileGridSize=(grid, grid)).apply(img)
+            oi, _ = _run([("CLAHE", {"clip_limit": [cl, cl],
+                                     "tile_grid_size": grid})],
+                         np.tile(img[None, :, :, None], (1, 1, 1, 3)),
+                         _masks(1, 64, 64))
+            for c in range(3):
+                np.testing.assert_allclose(oi[0, :, :, c],
+                                           want.astype(np.float32), atol=0.0)
+
+    def test_clahe_nondivisible_shape_pads_like_cv2(self):
+        import cv2
+
+        img = np.random.RandomState(3).randint(0, 255, (50, 46), np.uint8)
+        want = cv2.createCLAHE(clipLimit=3.0,
+                               tileGridSize=(8, 8)).apply(img)
+        oi, _ = _run([("CLAHE", {"clip_limit": [3.0, 3.0]})],
+                     img[None, :, :, None], _masks(1, 50, 46))
+        d = np.abs(oi[0, :, :, 0] - want.astype(np.float32))
+        assert d.mean() < 0.1 and d.max() <= 1.0  # cv2 partial-tile edge
+
+    def test_clahe_mask_untouched(self):
+        masks = _masks(2, 32, 32)
+        _, om = _run([("CLAHE", None)], _imgs(2, 32, 32), masks)
+        np.testing.assert_array_equal(om, masks)
+
+    def test_jpeg_matches_cv2_roundtrip(self):
+        import cv2
+
+        r = np.random.RandomState(0)
+        yy, xx = np.mgrid[0:64, 0:64]
+        rgb = np.clip(r.randint(0, 255, (64, 64, 3)).astype(np.float32) * 0.3
+                      + np.stack([yy * 2, xx * 2, yy + xx], -1),
+                      0, 255).astype(np.uint8)
+        for q in (30, 80):
+            ok, enc = cv2.imencode(".jpg", rgb[:, :, ::-1],
+                                   [cv2.IMWRITE_JPEG_QUALITY, q])
+            assert ok
+            want = cv2.imdecode(enc, cv2.IMREAD_COLOR)[:, :, ::-1]
+            oi, _ = _run([("JpegCompression",
+                           {"compression": [100 - q, 100 - q]})],
+                         rgb[None], _masks(1, 64, 64))
+            d = np.abs(oi[0] - want.astype(np.float32))
+            d_codec = np.abs(rgb.astype(np.float32) - want)
+            # the simulation tracks the real codec ~10x closer than the
+            # codec distortion itself (measured ~1-2 vs ~16-18 gray levels)
+            assert d.mean() < 3.0, f"q={q}: {d.mean()}"
+            assert d.mean() < 0.25 * d_codec.mean()
+
+    def test_jpeg_quality_orders_distortion(self):
+        # structured content (iid noise saturates distortion even at q95)
+        yy, xx = np.mgrid[0:32, 0:32]
+        rgb = np.clip(np.stack([yy * 4, xx * 4, yy + xx], -1) +
+                      np.random.RandomState(5).randint(0, 40, (32, 32, 3)),
+                      0, 255).astype(np.uint8)[None]
+        lo, _ = _run([("JpegCompression", {"compression": [90, 90]})],
+                     rgb, _masks(1, 32, 32))
+        hi, _ = _run([("JpegCompression", {"compression": [5, 5]})],
+                     rgb, _masks(1, 32, 32))
+        f = rgb.astype(np.float32)
+        assert np.abs(lo - f).mean() > np.abs(hi - f).mean() * 1.5
+
+    def test_posterize_matches_bitmask(self):
+        imgs = _imgs(2, 16, 16)
+        oi, _ = _run([("Posterize", {"nb_bits": [3, 3]})],
+                     imgs, _masks(2, 16, 16))
+        want = ((imgs >> 5) << 5).astype(np.float32)
+        np.testing.assert_allclose(oi, want, atol=1e-4)
+
+    def test_channel_shuffle_permutes(self):
+        b, h, w = 4, 8, 8
+        imgs = np.zeros((b, h, w, 3), np.uint8)
+        imgs[..., 0], imgs[..., 1], imgs[..., 2] = 10, 20, 30
+        oi, _ = _run([("ChannelShuffle", 1.0)], imgs, _masks(b, h, w),
+                     seed=2)
+        for bi in range(b):
+            vals = sorted(oi[bi, 0, 0].tolist())
+            assert vals == [10.0, 20.0, 30.0]
+            # every pixel in an image uses the SAME permutation
+            assert (oi[bi] == oi[bi, 0, 0][None, None, :]).all()
+
+    def test_channel_shuffle_p0_identity(self):
+        imgs = _imgs(2, 8, 8)
+        oi, _ = _run([("ChannelShuffle", 0.0)], imgs, _masks(2, 8, 8))
+        np.testing.assert_allclose(oi, imgs.astype(np.float32), atol=1e-4)
