@@ -43,6 +43,9 @@ for name in [
     "xception", "inceptionv3", "inceptionresnetv2",
 ]:
     BACKBONES.register(name, name)
+# the bundled-DeepLabV3+ pascal_voc graph (bonlime aligned Xception-65)
+BACKBONES.register("xception_aligned", "xception_aligned",
+                   aliases=("xception65", "xception_deeplab"))
 
 # --- optimizers (Keras names → optax builders; resolved in train.optimizers) ---
 for name, aliases in [

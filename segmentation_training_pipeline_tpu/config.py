@@ -348,6 +348,9 @@ class PipelineConfig:
             hint = BACKBONES.suggest(backbone)
             extra = f" Did you mean {hint!r}?" if hint else ""
             raise ConfigError(f"unknown backbone {backbone!r}.{extra}")
+        # canonicalize aliases (e.g. xception65 → xception_aligned) so the
+        # encoder zoo / weight converters see one name per graph
+        backbone = BACKBONES.get(backbone)
 
         opt = str(d.get("optimizer", "Adam"))
         if opt not in OPTIMIZERS:

@@ -2,4 +2,4 @@ from .unet import UnetDecoder
 from .fpn import FPNDecoder
 from .linknet import LinknetDecoder
 from .pspnet import PSPDecoder
-from .deeplab import DeepLabV3PlusDecoder
+from .deeplab import AlignedDeepLabDecoder, DeepLabV3PlusDecoder

@@ -16,6 +16,7 @@ from .mobilenetv2 import MobileNetV2Encoder
 from .efficientnet import EfficientNetEncoder
 from .densenet import DenseNetEncoder
 from .xception import XceptionEncoder
+from .xception_aligned import AlignedXceptionEncoder
 from .inception import InceptionV3Encoder, InceptionResNetV2Encoder
 
 # name → (module class, constructor kwargs)
@@ -51,6 +52,9 @@ _SPECS: Dict[str, Tuple[Type, Dict[str, Any]]] = {
     "densenet169": (DenseNetEncoder, dict(block_sizes=(6, 12, 32, 32))),
     "densenet201": (DenseNetEncoder, dict(block_sizes=(6, 12, 48, 32))),
     "xception": (XceptionEncoder, {}),
+    # the DeepLabV3+ pascal_voc graph (bonlime); the factory sets
+    # output_stride=16 when paired with the DeepLab architecture
+    "xception_aligned": (AlignedXceptionEncoder, {}),
     "inceptionv3": (InceptionV3Encoder, {}),
     "inceptionresnetv2": (InceptionResNetV2Encoder, {}),
 }

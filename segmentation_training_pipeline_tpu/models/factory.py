@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .decoders import (
+    AlignedDeepLabDecoder,
     DeepLabV3PlusDecoder,
     FPNDecoder,
     LinknetDecoder,
@@ -68,6 +69,18 @@ class SegmentationModel(nn.Module):
                 f"{sorted(set(_DECODERS))}"
             )
         enc_cls, enc_kw = encoder_spec(self.backbone)
+        dec_cls = _DECODERS[arch]
+        if self.backbone.lower() == "xception_aligned":
+            # the bonlime DeepLab pairing: encoder keeps stride 16 (exit
+            # flow dilates instead of striding) and the decoder is the
+            # pascal_voc-weight-compatible aligned graph.  With any other
+            # decoder the encoder runs the generic stride-32 layout —
+            # identical weight shapes either way.
+            if dec_cls is DeepLabV3PlusDecoder:
+                dec_cls = AlignedDeepLabDecoder
+                enc_kw["output_stride"] = 16
+            else:
+                enc_kw["output_stride"] = 32
         if self.encoder_variant == "keras-preact":
             from .encoders.resnet import PreactResNetEncoder
 
@@ -80,7 +93,6 @@ class SegmentationModel(nn.Module):
         elif self.encoder_variant:
             raise KeyError(
                 f"unknown encoder_variant {self.encoder_variant!r}")
-        dec_cls = _DECODERS[arch]
         dec_kw = {}
         if self.remat:
             # rematerialize BOTH halves in backward (HBM for FLOPs).  The

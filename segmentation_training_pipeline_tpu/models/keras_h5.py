@@ -237,6 +237,91 @@ def convert_h5_mobilenetv2(layers, params_enc, stats_enc) -> Tuple[Dict, Dict]:
     return params, stats
 
 
+# ---------------------------------------------------------------------------
+# bonlime keras-deeplab-v3-plus (aligned Xception-65 + DeepLab decoder)
+# ---------------------------------------------------------------------------
+
+def _walk_flat_named(layers, params: Dict, stats: Dict, what: str):
+    """Fill a FLAT-named Flax tree (submodule names == Keras layer names)
+    from the h5 layer dict; shared by the aligned-xception encoder and the
+    aligned DeepLab decoder (models/encoders/xception_aligned.py naming
+    contract)."""
+    for name, sub in params.items():
+        if "kernel" in sub:
+            dw = name.endswith("_depthwise")
+            _put_kernel(layers, name, sub,
+                        key="depthwise_kernel" if dw else "kernel",
+                        depthwise=dw)
+            if "bias" in sub:
+                bias = layers[name].get("bias")
+                if bias is None:
+                    raise PretrainedWeightsError(
+                        f"{name}: {what} conv expects a bias the h5 lacks")
+                sub["bias"] = bias.astype(sub["bias"].dtype)
+        else:
+            _put_bn(layers, name, sub, stats[name])
+
+
+def convert_h5_aligned_xception(layers, params_enc, stats_enc) -> Tuple[Dict, Dict]:
+    """bonlime DeepLabV3+ h5 (full-model ``pascal_voc`` save or an
+    encoder-only export) → AlignedXceptionEncoder tree."""
+    import copy
+
+    if "entry_flow_conv1_1" not in layers:
+        raise PretrainedWeightsError(
+            "h5 has no entry_flow_conv1_1 layer — not a bonlime "
+            "aligned-xception (DeepLabV3+) weights file?  (classic "
+            "xception checkpoints use the 'xception' backbone)")
+    params = copy.deepcopy(jax_to_np(params_enc))
+    stats = copy.deepcopy(jax_to_np(stats_enc))
+    _walk_flat_named(layers, params, stats, "encoder")
+    return params, stats
+
+
+def maybe_load_aligned_deeplab_head(path: str, variables: Dict) -> Dict:
+    """When a bonlime h5 also carries the DeepLab decoder (+ pascal
+    logits), map those into the aligned decoder / logits_conv trees —
+    the reference's ``Deeplabv3(weights='pascal_voc')`` loads the WHOLE
+    model, not just the backbone (SURVEY.md §2a).  No-ops (with a warning
+    where relevant) when the h5 is encoder-only, the configured decoder
+    isn't the aligned graph, or the class count differs."""
+    import copy
+    import warnings
+
+    layers = read_h5_weights(path)
+    if "concat_projection" not in layers:
+        return variables  # encoder-only export
+    dec_p = variables["params"].get("decoder", {})
+    if "concat_projection" not in dec_p:
+        warnings.warn(
+            f"{path} carries DeepLab decoder weights but the configured "
+            "decoder is not the aligned DeepLab graph — only the encoder "
+            "was loaded (use architecture: DeepLabV3 with backbone: "
+            "xception_aligned for the full pascal_voc model)")
+        return variables
+
+    out = copy.deepcopy(jax_to_np(variables))
+    _walk_flat_named(layers, out["params"]["decoder"],
+                     out["batch_stats"]["decoder"], "decoder")
+    head = out["params"].get("logits_conv")
+    if head is not None:
+        for lname in ("logits_semantic", "custom_logits_semantic"):
+            if lname in layers and "kernel" in layers[lname]:
+                k = layers[lname]["kernel"]
+                if tuple(head["kernel"].shape) == k.shape:
+                    head["kernel"] = k.astype(head["kernel"].dtype)
+                    if "bias" in head and "bias" in layers[lname]:
+                        head["bias"] = layers[lname]["bias"].astype(
+                            head["bias"].dtype)
+                else:
+                    warnings.warn(
+                        f"{lname} in {path} has {k.shape[-1]} classes; "
+                        f"config wants {head['kernel'].shape[-1]} — "
+                        "logits head keeps its fresh init")
+                break
+    return out
+
+
 def keras_converter_for(backbone: str):
     if backbone in ("resnet18", "resnet34"):
         return convert_h5_resnet_preact
@@ -244,10 +329,12 @@ def keras_converter_for(backbone: str):
         return convert_h5_vgg
     if backbone == "mobilenetv2":
         return convert_h5_mobilenetv2
+    if backbone == "xception_aligned":
+        return convert_h5_aligned_xception
     raise PretrainedWeightsError(
-        f"Keras .h5 conversion covers resnet18/34 (preact), vgg16/19 and "
-        f"mobilenetv2; got backbone {backbone!r} — export the weights to "
-        "torch .pt or npz instead")
+        f"Keras .h5 conversion covers resnet18/34 (preact), vgg16/19, "
+        f"mobilenetv2 and xception_aligned (bonlime DeepLab); got backbone "
+        f"{backbone!r} — export the weights to torch .pt or npz instead")
 
 
 def load_h5_into(path: str, backbone: str, params_enc, stats_enc):

@@ -723,6 +723,14 @@ def torch_converter_for(backbone: str):
         return convert_torch_inceptionresnetv2
     if backbone == "xception":
         return convert_torch_xception
+    if backbone == "xception_aligned":
+        # the pascal_voc DeepLab graph ships as Keras h5 (bonlime);
+        # there is no canonical torch state-dict naming for it
+        raise PretrainedWeightsError(
+            "xception_aligned weights come from the bonlime DeepLabV3+ "
+            "Keras release — drop the pascal_voc .h5 (or an .npz export) "
+            "in STP_PRETRAINED_DIR; torch .pt ingestion is not defined "
+            "for this graph")
     raise PretrainedWeightsError(
         f"no torch-format converter for backbone {backbone!r} "
         f"(use npz export instead)")
@@ -804,4 +812,10 @@ def load_encoder_weights(backbone: str, spec: str,
         out_stats = dict(variables["batch_stats"])
         out_stats["encoder"] = new_s
         out["batch_stats"] = out_stats
+    if (backbone == "xception_aligned"
+            and path.endswith((".h5", ".hdf5"))):
+        # bonlime pascal_voc saves carry the DeepLab decoder + logits too
+        from .keras_h5 import maybe_load_aligned_deeplab_head
+
+        out = maybe_load_aligned_deeplab_head(path, out)
     return out

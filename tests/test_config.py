@@ -170,3 +170,11 @@ def test_crops_validation():
     with pytest.raises(ConfigError):
         parse_dict({"crops": 1})
     assert parse_dict({"crops": 3}).crops == 3
+
+
+def test_backbone_aliases_canonicalize():
+    from segmentation_training_pipeline_tpu.config import parse_dict
+
+    for alias in ("xception65", "xception_deeplab", "xception_aligned"):
+        cfg = parse_dict({"architecture": "DeepLabV3", "backbone": alias})
+        assert cfg.backbone == "xception_aligned"

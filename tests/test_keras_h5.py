@@ -267,3 +267,137 @@ def test_factory_selects_preact_for_h5(tmp_path):
     got = np.asarray(out["params"]["encoder"]["conv0"]["kernel"])
     want = np.transpose(oracle.conv0.weight.detach().numpy(), (2, 3, 1, 0))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# bonlime DeepLabV3+ pascal_voc (aligned Xception-65)
+# ---------------------------------------------------------------------------
+
+def _export_aligned_h5(named_modules, path):
+    """[(bonlime_layer_name, torch module), ...] → Keras h5.  SepConvBN
+    modules expand into their four bonlime layers."""
+    from torch_oracles import TorchSepConvBN
+
+    layers = []
+    for name, mod in named_modules:
+        if isinstance(mod, TorchSepConvBN):
+            dw = mod.depthwise.weight.detach().numpy().transpose(2, 3, 0, 1)
+            layers.append((f"{name}_depthwise",
+                           [(f"{name}_depthwise/depthwise_kernel:0", dw)]))
+            layers.append((f"{name}_depthwise_BN",
+                           _bn_ws(mod.depthwise_BN, f"{name}_depthwise_BN")))
+            layers.append((f"{name}_pointwise",
+                           [(f"{name}_pointwise/kernel:0",
+                             _t(mod.pointwise.weight))]))
+            layers.append((f"{name}_pointwise_BN",
+                           _bn_ws(mod.pointwise_BN, f"{name}_pointwise_BN")))
+        elif isinstance(mod, torch.nn.Conv2d):
+            ws = [(f"{name}/kernel:0", _t(mod.weight))]
+            if mod.bias is not None:
+                ws.append((f"{name}/bias:0", mod.bias.detach().numpy()))
+            layers.append((name, ws))
+        elif isinstance(mod, torch.nn.BatchNorm2d):
+            layers.append((name, _bn_ws(mod, name)))
+        else:  # pragma: no cover
+            raise TypeError(f"unexpected oracle module {name}: {type(mod)}")
+    write_keras_h5(path, layers)
+
+
+def test_aligned_xception_encoder_matches_h5_oracle(tmp_path):
+    from torch_oracles import TorchAlignedXception
+
+    oracle = TorchAlignedXception(output_stride=32).eval()
+    randomize_(oracle, seed=21)
+    x = np.random.RandomState(6).rand(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        want = [t.numpy() for t in
+                oracle(torch.from_numpy(x.transpose(0, 3, 1, 2)))]
+
+    path = str(tmp_path / "xception_aligned.h5")
+    _export_aligned_h5(list(oracle.layers.items()), path)
+
+    enc = build_encoder("xception_aligned", dtype=jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    new_p, new_s = load_h5_into(path, "xception_aligned",
+                                variables["params"],
+                                variables["batch_stats"])
+    got = enc.apply({"params": new_p, "batch_stats": new_s},
+                    jnp.asarray(x), train=False)
+
+    assert len(got) == len(want) == 5
+    for i, (g, w) in enumerate(zip(got, want)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        assert g.shape == w.shape, f"tap C{i+1}: {g.shape} vs {w.shape}"
+        np.testing.assert_allclose(
+            g, w, rtol=1e-3, atol=5e-3,
+            err_msg=f"aligned-xception tap C{i+1} diverged")
+
+
+def _full_oracle_layers(oracle):
+    return (list(oracle.backbone.layers.items())
+            + list(oracle.dec.items())
+            + [("logits_semantic", oracle.logits_semantic)])
+
+
+def test_aligned_deeplab_full_pascal_h5(tmp_path):
+    """The reference's Deeplabv3(weights='pascal_voc') loads the WHOLE
+    model; here a full-model bonlime h5 must reproduce the oracle's output
+    logits through the public encoder_weights path."""
+    from torch_oracles import TorchAlignedDeepLab
+    from segmentation_training_pipeline_tpu.models.factory import (
+        create_model, init_model)
+    from segmentation_training_pipeline_tpu.models.pretrained import (
+        load_encoder_weights)
+
+    oracle = TorchAlignedDeepLab(classes=5).eval()
+    randomize_(oracle, seed=22)
+    x = np.random.RandomState(7).rand(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    path = str(tmp_path / "xception_aligned.h5")
+    _export_aligned_h5(_full_oracle_layers(oracle), path)
+
+    model = create_model("DeepLabV3", "xception_aligned", classes=5,
+                         dtype="float32")
+    variables = jax.device_get(init_model(model, (64, 64, 3)))
+    loaded = load_encoder_weights("xception_aligned", path, variables)
+    got = model.apply(loaded, jnp.asarray(x), train=False)
+
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-3)
+
+
+def test_aligned_deeplab_head_class_mismatch_warns(tmp_path):
+    from torch_oracles import TorchAlignedDeepLab
+    from segmentation_training_pipeline_tpu.models.factory import (
+        create_model, init_model)
+    from segmentation_training_pipeline_tpu.models.pretrained import (
+        load_encoder_weights)
+
+    oracle = TorchAlignedDeepLab(classes=5).eval()
+    randomize_(oracle, seed=23)
+    path = str(tmp_path / "xception_aligned.h5")
+    _export_aligned_h5(_full_oracle_layers(oracle), path)
+
+    model = create_model("DeepLabV3", "xception_aligned", classes=3,
+                         dtype="float32")
+    variables = jax.device_get(init_model(model, (64, 64, 3)))
+    with pytest.warns(UserWarning, match="classes"):
+        loaded = load_encoder_weights("xception_aligned", path, variables)
+    # decoder DID load, head kept its fresh init
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["decoder"]["concat_projection"]["kernel"]),
+        _t(oracle.dec["concat_projection"].weight), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["logits_conv"]["kernel"]),
+        np.asarray(variables["params"]["logits_conv"]["kernel"]))
+
+
+def test_aligned_rejects_non_bonlime_h5(tmp_path):
+    path = str(tmp_path / "bad.h5")
+    write_keras_h5(path, [("conv1", [("conv1/kernel:0",
+                                      np.zeros((3, 3, 3, 32)))])])
+    with pytest.raises(PretrainedWeightsError, match="entry_flow_conv1_1"):
+        load_h5_into(path, "xception_aligned", {}, {})

@@ -97,3 +97,36 @@ def test_apply_activation():
     sm = apply_activation(x, "softmax")
     assert np.allclose(np.asarray(sm).sum(-1), 1.0)
     assert np.allclose(apply_activation(x, "linear"), x)
+
+
+class TestAlignedXception:
+    def test_deeplab_pairing_uses_bonlime_graph(self):
+        # DeepLabV3 + xception_aligned → aligned decoder (flat bonlime
+        # names) over the stride-16 dilated C5
+        m = create_model("DeepLabV3", "xception_aligned", classes=2,
+                         dtype="float32")
+        shapes = jax.eval_shape(lambda x: m.init(RNGS, x, train=False), X64)
+        dec = shapes["params"]["decoder"]
+        assert "concat_projection" in dec
+        assert "decoder_conv0_depthwise" in dec
+        assert "aspp1_depthwise" in dec
+        assert _out_shape(m).shape == (2, 64, 64, 2)
+
+    def test_generic_pairing_keeps_stride_pyramid(self):
+        # any other decoder gets the stride-32 layout (exit flow strided)
+        enc = build_encoder("xception_aligned", dtype=jnp.float32)
+        feats = jax.eval_shape(
+            lambda x: enc.init_with_output(RNGS, x, train=False)[0],
+            jax.ShapeDtypeStruct((1, 128, 128, 3), jnp.float32),
+        )
+        assert [f.shape[1] for f in feats] == [64, 32, 16, 8, 4]
+        assert [f.shape[-1] for f in feats] == [64, 256, 256, 728, 2048]
+
+    def test_os16_keeps_c5_at_stride16(self):
+        enc = build_encoder("xception_aligned", output_stride=16,
+                            dtype=jnp.float32)
+        feats = jax.eval_shape(
+            lambda x: enc.init_with_output(RNGS, x, train=False)[0],
+            jax.ShapeDtypeStruct((1, 128, 128, 3), jnp.float32),
+        )
+        assert feats[4].shape[1] == 8  # dilated, not strided

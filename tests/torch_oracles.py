@@ -610,3 +610,170 @@ class TorchKerasVGG(nn.Module):
             y = torch.nn.functional.max_pool2d(y, 2, 2)
             feats.append(y)
         return feats
+
+
+# ---------------------------------------------------------------------------
+# bonlime keras-deeplab-v3-plus: aligned Xception-65 + DeepLab decoder —
+# oracle for the pascal_voc .h5 ingestion path.  ModuleDict keys equal the
+# bonlime Keras layer names so the test's h5 exporter is mechanical.
+#
+# Padding note: these oracles replicate TF SAME padding EXPLICITLY for the
+# stride-2 3x3 convs (pad (0,1,0,1) at even extents) so the golden tests
+# can run at 64x64 — the full model's final x4 upsample needs a
+# 4-divisible frame, unlike the tap-only oracles above that use 65.
+# ---------------------------------------------------------------------------
+
+def _same_pad_s2(x):
+    """TF SAME for kernel 3 / stride 2 at even extents: pad right/bottom."""
+    return torch.nn.functional.pad(x, (0, 1, 0, 1))
+
+
+class TorchSepConvBN(nn.Module):
+    """bonlime ``SepConv_BN``: depthwise 3x3 → BN → pointwise 1x1 → BN."""
+
+    def __init__(self, cin, cout, stride=1, rate=1, depth_activation=False,
+                 eps=1e-3):
+        super().__init__()
+        self.stride = stride
+        self.depth_activation = depth_activation
+        pad = 0 if stride == 2 else rate
+        self.depthwise = nn.Conv2d(cin, cin, 3, stride, pad, dilation=rate,
+                                   groups=cin, bias=False)
+        self.depthwise_BN = nn.BatchNorm2d(cin, eps=eps)
+        self.pointwise = nn.Conv2d(cin, cout, 1, bias=False)
+        self.pointwise_BN = nn.BatchNorm2d(cout, eps=eps)
+
+    def forward(self, x):
+        if not self.depth_activation:
+            x = torch.relu(x)
+        if self.stride == 2:
+            x = _same_pad_s2(x)
+        x = self.depthwise_BN(self.depthwise(x))
+        if self.depth_activation:
+            x = torch.relu(x)
+        x = self.pointwise_BN(self.pointwise(x))
+        if self.depth_activation:
+            x = torch.relu(x)
+        return x
+
+
+class TorchAlignedXception(nn.Module):
+    """bonlime modified-aligned Xception-65, [C1..C5] taps."""
+
+    def __init__(self, output_stride=32):
+        super().__init__()
+        self.os16 = output_stride == 16
+        L = self.layers = nn.ModuleDict()
+        L["entry_flow_conv1_1"] = nn.Conv2d(3, 32, 3, 2, 0, bias=False)
+        L["entry_flow_conv1_1_BN"] = nn.BatchNorm2d(32, eps=1e-3)
+        L["entry_flow_conv1_2"] = nn.Conv2d(32, 64, 3, 1, 1, bias=False)
+        L["entry_flow_conv1_2_BN"] = nn.BatchNorm2d(64, eps=1e-3)
+        self.block_specs = []
+
+        def add_block(prefix, cin, depths, skip, stride, rate=1,
+                      depth_act=False):
+            for i in range(3):
+                L[f"{prefix}_separable_conv{i + 1}"] = TorchSepConvBN(
+                    cin if i == 0 else depths[i - 1], depths[i],
+                    stride if i == 2 else 1, rate, depth_act)
+            if skip == "conv":
+                L[f"{prefix}_shortcut"] = nn.Conv2d(cin, depths[-1], 1,
+                                                    stride, bias=False)
+                L[f"{prefix}_shortcut_BN"] = nn.BatchNorm2d(depths[-1],
+                                                            eps=1e-3)
+            self.block_specs.append((prefix, skip))
+
+        add_block("entry_flow_block1", 64, [128] * 3, "conv", 2)
+        add_block("entry_flow_block2", 128, [256] * 3, "conv", 2)
+        add_block("entry_flow_block3", 256, [728] * 3, "conv", 2)
+        for i in range(16):
+            add_block(f"middle_flow_unit_{i + 1}", 728, [728] * 3, "sum", 1)
+        add_block("exit_flow_block1", 728, [728, 1024, 1024], "conv",
+                  1 if self.os16 else 2)
+        add_block("exit_flow_block2", 1024, [1536, 1536, 2048], "none", 1,
+                  rate=2 if self.os16 else 1, depth_act=True)
+
+    def _block(self, y, prefix, skip, return_skip=False):
+        L = self.layers
+        residual, mid = y, None
+        for i in range(3):
+            residual = L[f"{prefix}_separable_conv{i + 1}"](residual)
+            if i == 1 and return_skip:
+                mid = residual
+        if skip == "conv":
+            stride = L[f"{prefix}_shortcut"].stride[0]
+            sc = L[f"{prefix}_shortcut"](y)
+            residual = residual + L[f"{prefix}_shortcut_BN"](sc)
+        elif skip == "sum":
+            residual = residual + y
+        return (residual, mid) if return_skip else residual
+
+    def forward(self, x):
+        L = self.layers
+        y = torch.relu(L["entry_flow_conv1_1_BN"](
+            L["entry_flow_conv1_1"](_same_pad_s2(x))))
+        y = torch.relu(L["entry_flow_conv1_2_BN"](
+            L["entry_flow_conv1_2"](y)))
+        feats = [y]
+        y = self._block(y, "entry_flow_block1", "conv")
+        y, mid = self._block(y, "entry_flow_block2", "conv",
+                             return_skip=True)
+        feats.append(mid)
+        feats.append(y)
+        y = self._block(y, "entry_flow_block3", "conv")
+        for i in range(16):
+            y = self._block(y, f"middle_flow_unit_{i + 1}", "sum")
+        feats.append(y)
+        y = self._block(y, "exit_flow_block1", "conv")
+        y = self._block(y, "exit_flow_block2", "none")
+        feats.append(y)
+        return feats
+
+
+class TorchAlignedDeepLab(nn.Module):
+    """Full bonlime DeepLabV3+ (aligned-xception backbone, OS16): the
+    oracle for the whole-model pascal_voc load (encoder + decoder +
+    logits)."""
+
+    def __init__(self, classes=21):
+        super().__init__()
+        self.backbone = TorchAlignedXception(output_stride=16)
+        D = self.dec = nn.ModuleDict()
+        D["image_pooling"] = nn.Conv2d(2048, 256, 1, bias=False)
+        D["image_pooling_BN"] = nn.BatchNorm2d(256, eps=1e-5)
+        D["aspp0"] = nn.Conv2d(2048, 256, 1, bias=False)
+        D["aspp0_BN"] = nn.BatchNorm2d(256, eps=1e-5)
+        for i, r in enumerate((6, 12, 18)):
+            D[f"aspp{i + 1}"] = TorchSepConvBN(2048, 256, rate=r,
+                                               depth_activation=True,
+                                               eps=1e-5)
+        D["concat_projection"] = nn.Conv2d(5 * 256, 256, 1, bias=False)
+        D["concat_projection_BN"] = nn.BatchNorm2d(256, eps=1e-5)
+        D["feature_projection0"] = nn.Conv2d(256, 48, 1, bias=False)
+        D["feature_projection0_BN"] = nn.BatchNorm2d(48, eps=1e-5)
+        D["decoder_conv0"] = TorchSepConvBN(256 + 48, 256,
+                                            depth_activation=True, eps=1e-5)
+        D["decoder_conv1"] = TorchSepConvBN(256, 256,
+                                            depth_activation=True, eps=1e-5)
+        self.logits_semantic = nn.Conv2d(256, classes, 1)
+
+    def forward(self, x):
+        D = self.dec
+        up = lambda t, hw: torch.nn.functional.interpolate(  # noqa: E731
+            t, size=hw, mode="bilinear", align_corners=False)
+        feats = self.backbone(x)
+        c5, skip = feats[4], feats[1]
+        hw = c5.shape[2:]
+        b4 = c5.mean((2, 3), keepdim=True)
+        b4 = up(torch.relu(D["image_pooling_BN"](D["image_pooling"](b4))),
+                hw)
+        b0 = torch.relu(D["aspp0_BN"](D["aspp0"](c5)))
+        y = torch.cat([b4, b0, D["aspp1"](c5), D["aspp2"](c5),
+                       D["aspp3"](c5)], 1)
+        y = torch.relu(D["concat_projection_BN"](D["concat_projection"](y)))
+        y = up(y, skip.shape[2:])
+        low = torch.relu(D["feature_projection0_BN"](
+            D["feature_projection0"](skip)))
+        y = D["decoder_conv1"](D["decoder_conv0"](torch.cat([y, low], 1)))
+        y = self.logits_semantic(y)
+        return up(y, (skip.shape[2] * 4, skip.shape[3] * 4))
