@@ -54,6 +54,7 @@ for name, aliases in [
     ("SGD", ("sgd",)),
     ("RMSprop", ("rmsprop",)),
     ("Nadam", ()),
+    ("Adamax", ("adamax",)),
     ("Adagrad", ()),
     ("Adadelta", ()),
     ("Lion", ()),
@@ -111,6 +112,15 @@ for name, aliases in [
     ("JpegCompression", ()),
     ("Posterize", ()),
     ("ChannelShuffle", ()),
+    ("TranslateX", ()),
+    ("TranslateY", ()),
+    ("ScaleX", ()),
+    ("ScaleY", ()),
+    ("ShearX", ()),
+    ("ShearY", ()),
+    ("AddElementwise", ()),
+    ("MultiplyElementwise", ()),
+    ("Autocontrast", ("AutoContrast",)),
     # meta-augmenters (children validated recursively at parse time)
     ("Sometimes", ()),
     ("SomeOf", ()),

@@ -163,16 +163,45 @@ def _coerce_block(spec) -> List[Dict[str, Any]]:
                 f"children, got {entry!r}")
         else:
             raise ValueError(f"bad augmentation entry {entry!r}")
-    # Rotate is pure sugar for Affine {rotate: ...} (imgaug defines it the
-    # same way) — rewriting here keeps it fusable into geo warp runs and
-    # valid inside meta-augmenter children
+    # Rotate/TranslateX/Y/ScaleX/Y/ShearX/Y are pure sugar for Affine
+    # (imgaug 0.4 defines them the same way) — rewriting here keeps them
+    # fusable into geo warp runs and valid inside meta-augmenter children
     for e in out:
-        if e["name"].lower() == "rotate":
-            a = e["args"]
+        nm = e["name"].lower()
+        a = e["args"]
+        if nm == "rotate":
             if isinstance(a, dict) and "rotate" not in a:
                 a = a.get("value", [-30, 30])
             e["name"] = "Affine"
             e["args"] = {"rotate": a if a is not None else [-30, 30]}
+        elif nm in ("translatex", "translatey"):
+            ax = "x" if nm.endswith("x") else "y"
+            if isinstance(a, dict):
+                if "px" in a:
+                    e["args"] = {"translate_px": {ax: a["px"]}}
+                else:
+                    e["args"] = {"translate_percent":
+                                 {ax: a.get("percent", [-0.25, 0.25])}}
+            else:
+                e["args"] = {"translate_percent":
+                             {ax: a if a is not None else [-0.25, 0.25]}}
+            e["name"] = "Affine"
+        elif nm in ("scalex", "scaley"):
+            ax = "x" if nm.endswith("x") else "y"
+            if isinstance(a, dict):
+                a = a.get("scale", a.get("value"))
+            e["name"] = "Affine"
+            e["args"] = {"scale": {ax: a if a is not None else [0.75, 1.25]}}
+        elif nm in ("shearx", "sheary"):
+            ax = "x" if nm.endswith("x") else "y"
+            if isinstance(a, dict):
+                a = a.get("shear", a.get("value"))
+            sh = a if a is not None else [-30, 30]
+            e["name"] = "Affine"
+            # the Affine shear dict form samples x and y independently;
+            # pin the other axis to 0
+            e["args"] = {"shear": ({"x": sh, "y": 0} if ax == "x"
+                                   else {"x": 0, "y": sh})}
     return out
 
 
@@ -696,12 +725,19 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
 
 def _static_bounds(spec, default) -> Tuple[float, float]:
     """Static (host-side) min/max of a YAML parameter range — safe under
-    jit tracing (plain Python only)."""
+    jit tracing (plain Python only).  Handles ragged nesting (e.g. the
+    ShearX sugar's ``[[-30, 30], 0]`` axis spec)."""
     if spec is None:
         spec = default
     if isinstance(spec, (int, float)):
         return float(spec), float(spec)
-    vals = [float(v) for v in np.asarray(spec).ravel()]
+
+    def flat(v):
+        if isinstance(v, (list, tuple)):
+            return [x for e in v for x in flat(e)]
+        return [float(v)]
+
+    vals = flat(spec)
     return min(vals), max(vals)
 
 
@@ -823,6 +859,25 @@ def _sample_maybe_per_channel(k: Array, spec: Any, b: int, c: int,
     if not per_channel:
         return _sample(k, spec, b, default)
     return _sample(k, spec, b * c, default).reshape(b, c)
+
+
+def _sample_elementwise(rng: Array, spec: Any, shape, per_channel: bool,
+                        default) -> Array:
+    """PER-PIXEL sample for imgaug's *Elementwise augmenters: (B,H,W,1)
+    (all channels together, imgaug's per_channel=False default) or
+    (B,H,W,C)."""
+    b, h, w, c = shape
+    out_shape = (b, h, w, c if per_channel else 1)
+    if spec is None:
+        spec = default
+    if isinstance(spec, (int, float)):
+        return jnp.full(out_shape, float(spec), jnp.float32)
+    vals = [float(v) for v in spec]
+    if len(vals) == 2:
+        return jax.random.uniform(rng, out_shape, minval=vals[0],
+                                  maxval=vals[1])
+    arr = jnp.asarray(vals, jnp.float32)
+    return arr[jax.random.randint(rng, out_shape, 0, len(vals))]
 
 
 def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
@@ -984,6 +1039,17 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         a = args if not isinstance(args, dict) else args.get("p", 1.0)
         k1, k2 = jax.random.split(k)
         imgs = ph.channel_shuffle(k2, imgs, _sample(k1, a, b, 1.0))
+    elif name == "addelementwise":
+        a = args if not isinstance(args, dict) else args.get("value")
+        imgs = imgs + _sample_elementwise(k, a, imgs.shape, per_ch,
+                                          [-20, 20])
+    elif name == "multiplyelementwise":
+        a = args if not isinstance(args, dict) else args.get("mul")
+        imgs = imgs * _sample_elementwise(k, a, imgs.shape, per_ch,
+                                          [0.8, 1.2])
+    elif name in ("autocontrast", "auto_contrast"):
+        a = args if not isinstance(args, dict) else args.get("cutoff", 0)
+        imgs = ph.autocontrast(imgs, float(a or 0))
     elif name in ("resize", "scale"):
         a = args if not isinstance(args, dict) else \
             args.get("size", args.get("percent", 1.0))

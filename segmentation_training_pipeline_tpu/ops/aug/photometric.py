@@ -485,6 +485,26 @@ def jpeg_compression(images: Array, quality: Array) -> Array:
     return jnp.clip(jnp.round(out), 0.0, 255.0)[:, :h, :w, :]
 
 
+def autocontrast(images: Array, cutoff: float = 0.0) -> Array:
+    """PIL ``ImageOps.autocontrast`` per channel (imgaug
+    pillike.Autocontrast): linearly stretch each channel so its
+    [cutoff, 100−cutoff] percentile range maps to 0..255; channels with no
+    range pass through.  ``cutoff`` is a STATIC percent here (imgaug can
+    sample it per image — docs/schema.md deviation)."""
+    b, h, w, c = images.shape
+    x = jnp.clip(images, 0.0, 255.0)
+    flat = x.transpose(0, 3, 1, 2).reshape(b, c, h * w)
+    if cutoff > 0.0:
+        lo = jnp.quantile(flat, cutoff / 100.0, axis=-1, keepdims=True)
+        hi = jnp.quantile(flat, 1.0 - cutoff / 100.0, axis=-1, keepdims=True)
+    else:
+        lo = flat.min(axis=-1, keepdims=True)
+        hi = flat.max(axis=-1, keepdims=True)
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-6)
+    out = jnp.where(hi > lo, (flat - lo) * scale, flat)
+    return jnp.clip(out, 0.0, 255.0).reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+
 def posterize(images: Array, nb_bits: Array) -> Array:
     """PIL/imgaug Posterize: keep the top n bits of every value
     (``v & ~(2^(8-n)-1)`` == floor to the 2^(8-n) grid); n (B,) rounds to

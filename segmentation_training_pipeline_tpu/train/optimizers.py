@@ -38,6 +38,8 @@ def _algo(name: str, momentum: float = 0.0):
         return optax.scale_by_rss()
     if key == "adadelta":
         return optax.scale_by_adadelta()
+    if key == "adamax":
+        return optax.scale_by_adamax()
     if key == "lion":
         return optax.scale_by_lion()
     if key == "lamb":

@@ -618,3 +618,64 @@ class TestBatch4Augmenters:
         imgs = _imgs(2, 8, 8)
         oi, _ = _run([("ChannelShuffle", 0.0)], imgs, _masks(2, 8, 8))
         np.testing.assert_allclose(oi, imgs.astype(np.float32), atol=1e-4)
+
+
+class TestBatch5Augmenters:
+    """Round-3 surface batch 5: imgaug-0.4 Affine sugar (TranslateX/Y,
+    ScaleX/Y, ShearX/Y), *Elementwise ops, Autocontrast."""
+
+    @pytest.mark.parametrize("sugar,affine_args", [
+        (("TranslateX", [0.2, 0.2]),
+         {"translate_percent": {"x": [0.2, 0.2]}}),
+        (("TranslateY", {"px": [3, 3]}), {"translate_px": {"y": [3, 3]}}),
+        (("ScaleX", [1.3, 1.3]), {"scale": {"x": [1.3, 1.3]}}),
+        (("ScaleY", [0.7, 0.7]), {"scale": {"y": [0.7, 0.7]}}),
+        (("ShearX", [15, 15]), {"shear": {"x": [15, 15], "y": 0}}),
+        (("ShearY", [15, 15]), {"shear": {"x": 0, "y": [15, 15]}}),
+    ])
+    def test_sugar_matches_affine(self, sugar, affine_args):
+        imgs, masks = _imgs(h=17, w=17), _masks(h=17, w=17)
+        a, am = _run([sugar], imgs, masks, seed=9)
+        b, bm = _run([("Affine", affine_args)], imgs, masks, seed=9)
+        np.testing.assert_allclose(a, b, atol=1e-4)
+        np.testing.assert_array_equal(am, bm)
+        # and it actually does something
+        assert np.abs(a - imgs.astype(np.float32)).mean() > 0.5
+
+    def test_add_elementwise_constant_and_range(self):
+        imgs = np.full((1, 8, 8, 3), 100, np.uint8)
+        oi, _ = _run([("AddElementwise", 50)], imgs, _masks(1, 8, 8))
+        np.testing.assert_allclose(oi, 150.0, atol=1e-4)
+        oi, _ = _run([("AddElementwise", [10, 30])], imgs, _masks(1, 8, 8))
+        d = oi - 100.0
+        assert d.min() >= 10.0 - 1e-4 and d.max() <= 30.0 + 1e-4
+        assert d.std() > 1.0  # per-pixel, not per-image
+        # all channels move together (imgaug per_channel=False default)
+        np.testing.assert_allclose(d[..., 0], d[..., 1], atol=1e-5)
+
+    def test_multiply_elementwise_per_channel(self):
+        imgs = np.full((1, 8, 8, 3), 100, np.uint8)
+        oi, _ = _run([("MultiplyElementwise",
+                       {"mul": [0.5, 1.5], "per_channel": True})],
+                     imgs, _masks(1, 8, 8))
+        d = oi / 100.0
+        assert d.min() >= 0.5 - 1e-4 and d.max() <= 1.5 + 1e-4
+        # per-channel: channels differ
+        assert np.abs(d[..., 0] - d[..., 1]).max() > 0.01
+
+    def test_autocontrast_stretches_to_full_range(self):
+        r = np.random.RandomState(0)
+        imgs = r.randint(50, 101, (2, 16, 16, 3)).astype(np.uint8)
+        oi, _ = _run([("Autocontrast", None)], imgs, _masks(2, 16, 16))
+        f = imgs.astype(np.float64)
+        for bi in range(2):
+            for c in range(3):
+                lo, hi = f[bi, :, :, c].min(), f[bi, :, :, c].max()
+                want = np.clip((f[bi, :, :, c] - lo) * 255.0 / (hi - lo),
+                               0, 255)
+                np.testing.assert_allclose(oi[bi, :, :, c], want, atol=0.01)
+
+    def test_autocontrast_flat_channel_passthrough(self):
+        imgs = np.full((1, 8, 8, 3), 77, np.uint8)
+        oi, _ = _run([("Autocontrast", None)], imgs, _masks(1, 8, 8))
+        np.testing.assert_allclose(oi, 77.0, atol=1e-4)

@@ -42,3 +42,21 @@ def test_sgd_momentum_key():
     u1, st = tx.update(g, st, params)
     u2, st = tx.update(g, st, params)
     assert abs(float(u2["w"][0]) - 1.9) < 1e-6
+
+
+def test_every_registered_optimizer_builds_and_steps():
+    """Registry ↔ _algo lockstep: every YAML-reachable optimizer name must
+    build and produce a finite update (catches names registered without a
+    builder, e.g. the round-3 Adamax addition)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from segmentation_training_pipeline_tpu.config import (OPTIMIZERS,
+                                                           parse_dict)
+
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.full((3,), 0.5)}
+    for name in sorted(OPTIMIZERS._entries):
+        tx = build_optimizer(parse_dict({"optimizer": name}))
+        state = tx.init(params)
+        upd, _ = tx.update(grads, state, params)
+        assert np.all(np.isfinite(np.asarray(upd["w"]))), name
