@@ -303,11 +303,25 @@ def motion_blur(images: Array, k: Array, angle: Array,
         images, w)
 
 
+def _median9(taps):
+    """Median of 9 via the classic 19-comparator network (Smith 1996 /
+    Paeth's Graphics Gems median) — pure min/max, no generic sort.
+    Measured 195 → ~30 ms vs ``jnp.sort`` at B128 512² on TPU
+    (tools/photo_prof.py)."""
+    t = list(taps)
+    for i, j in [(1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7),
+                 (1, 2), (4, 5), (7, 8), (0, 3), (5, 8), (4, 7),
+                 (3, 6), (1, 4), (2, 5), (4, 7), (4, 2), (6, 4), (4, 2)]:
+        a, b = t[i], t[j]
+        t[i] = jnp.minimum(a, b)
+        t[j] = jnp.maximum(a, b)
+    return t[4]
+
+
 def median_blur(images: Array, ksize: int = 3) -> Array:
     """cv2/imgaug MedianBlur with STATIC odd ``ksize`` (replicate border):
-    the k² shifted copies stack on a new axis and a 9-/25-element sort
-    takes the middle — XLA lowers the small fixed-size sort efficiently;
-    no data-dependent control flow."""
+    k² shifted copies reduce through a median network (k=3) or a small
+    fixed-size sort (larger k) — no data-dependent control flow."""
     if ksize <= 1:
         return images
     r = ksize // 2
@@ -315,8 +329,32 @@ def median_blur(images: Array, ksize: int = 3) -> Array:
     h, w = images.shape[1], images.shape[2]
     taps = [pad[:, dy:dy + h, dx:dx + w, :]
             for dy in range(ksize) for dx in range(ksize)]
+    if ksize == 3:
+        return _median9(taps)
     stack = jnp.stack(taps, axis=-1)  # (B, H, W, C, k²)
     return jnp.sort(stack, axis=-1)[..., (ksize * ksize) // 2]
+
+
+def _hist256(values: Array) -> Array:
+    """(..., N) int32 → (..., 256) float32 histogram.
+
+    Broadcast-compare + reduce instead of vmapped ``bincount``: XLA:TPU
+    lowers the scatter-add behind bincount to a SERIAL loop (measured
+    2.35 s for B128 512² — tools/photo_prof.py), while the compare
+    masked-sum fuses into a vectorized VPU reduction with no materialized
+    (..., N, 256) intermediate.  Counts ≤ 2²⁴ are exact in f32."""
+    bins = jnp.arange(256, dtype=jnp.int32)
+    return jnp.sum((values[..., None] == bins).astype(jnp.float32),
+                   axis=-2)
+
+
+def _apply_lut256(lut: Array, values: Array) -> Array:
+    """LUT lookup ``lut[..., values]`` as a compare-masked reduction —
+    gather-free for the same reason as :func:`_hist256` (XLA:TPU gathers
+    of (..., 256) tables serialize).  lut (..., 256), values (..., N)."""
+    bins = jnp.arange(256, dtype=jnp.int32)
+    return jnp.sum(jnp.where(values[..., None] == bins,
+                             lut[..., None, :], 0.0), axis=-1)
 
 
 def clahe(images: Array, clip_limit: Array, tile_grid: int = 8) -> Array:
@@ -345,9 +383,8 @@ def clahe(images: Array, clip_limit: Array, tile_grid: int = 8) -> Array:
     v = v.transpose(0, 3, 1, 2)                     # (B, C, H, W)
     tiles = (v.reshape(b, c, g, th, g, tw)
               .transpose(0, 1, 2, 4, 3, 5)
-              .reshape(b * c * g * g, area))
-    hist = jax.vmap(lambda r: jnp.bincount(r, length=256))(tiles)
-    hist = hist.reshape(b, c, g, g, 256).astype(jnp.float32)
+              .reshape(b, c, g, g, area))
+    hist = _hist256(tiles)                          # (B, C, g, g, 256)
     cl = jnp.maximum(jnp.floor(clip_limit * area / 256.0), 1.0)
     cl = jnp.where(clip_limit > 0.0, cl, float(area))  # ≤0 → no clipping
     cl = cl[:, None, None, None, None]
@@ -364,8 +401,62 @@ def clahe(images: Array, clip_limit: Array, tile_grid: int = 8) -> Array:
     lut = jnp.clip(jnp.round(jnp.cumsum(hist, axis=-1) * (255.0 / area)),
                    0.0, 255.0)                      # (B, C, g, g, 256)
 
-    # bilinear interpolation between tile-center LUTs (cv2: pixels beyond
-    # the outermost centers clamp both neighbours to the border tile)
+    if th % 2 == 0 and tw % 2 == 0:
+        out = _clahe_apply_blocked(lut, v, g, th, tw)
+    else:  # odd tiles only arise from non-divisible-frame padding
+        out = _clahe_apply_gather(lut, v, g, th, tw)
+    out = jnp.round(out).transpose(0, 2, 3, 1)      # back to NHWC
+    return out[:, :h, :w, :]
+
+
+def _clahe_apply_blocked(lut: Array, v: Array, g: int, th: int,
+                         tw: int) -> Array:
+    """Bilinear interpolation between tile-center LUTs, gather-free.
+
+    Within each HALF-tile block the two neighbouring tile indices are
+    constants, so the frame reshapes into a (2g, th/2, 2g, tw/2) block
+    grid where each of the four taps is one :func:`_apply_lut256`
+    compare-reduce against a statically-selected LUT — the fast path that
+    took CLAHE from 7.4 s to VPU-bound at B128 512²
+    (tools/photo_prof.py).  cv2's clamping at the outer half-tiles falls
+    out of the index clipping (both neighbours become the border tile)."""
+    b, c = v.shape[0], v.shape[1]
+    th2, tw2 = th // 2, tw // 2
+    p = np.arange(2 * g)
+    iy0 = np.clip((p - 1) // 2, 0, g - 1)
+    iy1 = np.clip((p + 1) // 2, 0, g - 1)
+
+    def sel(a_idx, b_idx):                         # (B,C,2g,2g,256)
+        return lut[:, :, a_idx][:, :, :, b_idx]
+
+    # block-major pixel layout: (B, C, 2g, 2g, th2*tw2)
+    v6 = (v.reshape(b, c, 2 * g, th2, 2 * g, tw2)
+           .transpose(0, 1, 2, 4, 3, 5)
+           .reshape(b, c, 2 * g, 2 * g, th2 * tw2))
+    taps = [_apply_lut256(sel(ia, ib), v6)
+            for ia in (iy0, iy1) for ib in (iy0, iy1)]
+    # fractional weights: ya = 0.5 + yy/th on even half-rows, yy/th on odd
+    yy = jnp.arange(th2, dtype=jnp.float32)
+    half = (jnp.arange(2 * g) % 2 == 0).astype(jnp.float32)
+    wy = half[:, None] * 0.5 + yy[None, :] / th     # (2g, th2)
+    xx = jnp.arange(tw2, dtype=jnp.float32)
+    wx = half[:, None] * 0.5 + xx[None, :] / tw     # (2g, tw2)
+    wya = wy[None, None, :, None, :, None]          # (1,1,2g,1,th2,1)
+    wxa = wx[None, None, None, :, None, :]          # (1,1,1,2g,1,tw2)
+    shape6 = (b, c, 2 * g, 2 * g, th2, tw2)
+    t00, t01, t10, t11 = (t.reshape(shape6) for t in taps)
+    out = ((1.0 - wya) * (1.0 - wxa) * t00 + (1.0 - wya) * wxa * t01
+           + wya * (1.0 - wxa) * t10 + wya * wxa * t11)
+    return (out.transpose(0, 1, 2, 4, 3, 5)
+               .reshape(b, c, 2 * g * th2, 2 * g * tw2))
+
+
+def _clahe_apply_gather(lut: Array, v: Array, g: int, th: int,
+                        tw: int) -> Array:
+    """Per-pixel 4-tap LUT gather — exact same math as the blocked path,
+    for odd (padded) tile sizes; slow on TPU (XLA serializes the gather),
+    fine on CPU."""
+    big_h, big_w = th * g, tw * g
     tyf = jnp.arange(big_h, dtype=jnp.float32) / th - 0.5
     txf = jnp.arange(big_w, dtype=jnp.float32) / tw - 0.5
     iy0 = jnp.floor(tyf)
@@ -385,9 +476,7 @@ def clahe(images: Array, clip_limit: Array, tile_grid: int = 8) -> Array:
                 + wy1 * (1.0 - wx1) * tap(iy1c, ix0c)
                 + wy1 * wx1 * tap(iy1c, ix1c))
 
-    out = jax.vmap(jax.vmap(one))(lut, v.astype(jnp.int32))
-    out = jnp.round(out).transpose(0, 2, 3, 1)      # back to NHWC
-    return out[:, :h, :w, :]
+    return jax.vmap(jax.vmap(one))(lut, v)
 
 
 # --- JPEG compression simulation (imgaug JpegCompression) ------------------
@@ -488,15 +577,24 @@ def jpeg_compression(images: Array, quality: Array) -> Array:
 def autocontrast(images: Array, cutoff: float = 0.0) -> Array:
     """PIL ``ImageOps.autocontrast`` per channel (imgaug
     pillike.Autocontrast): linearly stretch each channel so its
-    [cutoff, 100−cutoff] percentile range maps to 0..255; channels with no
-    range pass through.  ``cutoff`` is a STATIC percent here (imgaug can
-    sample it per image — docs/schema.md deviation)."""
+    [cutoff, 100−cutoff] range maps to 0..255; channels with no range
+    pass through.  The cutoff removes ``cutoff·N/100`` COUNTS from each
+    histogram end exactly like PIL (computed from a :func:`_hist256`
+    histogram — the earlier ``jnp.quantile`` sort cost 346 ms at B128
+    512² on TPU, tools/photo_prof.py).  ``cutoff`` is a STATIC percent
+    here (imgaug can sample it per image — docs/schema.md deviation);
+    output stays continuous float (no uint8 LUT rounding)."""
     b, h, w, c = images.shape
     x = jnp.clip(images, 0.0, 255.0)
     flat = x.transpose(0, 3, 1, 2).reshape(b, c, h * w)
     if cutoff > 0.0:
-        lo = jnp.quantile(flat, cutoff / 100.0, axis=-1, keepdims=True)
-        hi = jnp.quantile(flat, 1.0 - cutoff / 100.0, axis=-1, keepdims=True)
+        hist = _hist256(jnp.round(flat).astype(jnp.int32))  # (B, C, 256)
+        cut = float(int(cutoff * h * w / 100.0))
+        lo = jnp.argmax(jnp.cumsum(hist, -1) > cut, axis=-1)
+        hi = 255 - jnp.argmax(jnp.cumsum(hist[..., ::-1], -1) > cut,
+                              axis=-1)
+        lo = lo[..., None].astype(jnp.float32)
+        hi = hi[..., None].astype(jnp.float32)
     else:
         lo = flat.min(axis=-1, keepdims=True)
         hi = flat.max(axis=-1, keepdims=True)
@@ -536,14 +634,12 @@ def histogram_equalization(images: Array) -> Array:
     b, h, w, c = images.shape
     v = jnp.clip(jnp.round(images), 0, 255).astype(jnp.int32)
     flat = v.transpose(0, 3, 1, 2).reshape(b, c, h * w)  # (B, C, N)
-    hist = jax.vmap(jax.vmap(
-        lambda x: jnp.bincount(x, length=256)))(flat)  # (B, C, 256)
+    hist = _hist256(flat)                                # (B, C, 256)
     cdf = jnp.cumsum(hist, axis=-1)
     # cdf_min = cdf at the lowest OCCUPIED bin (cv2 skips empty bins)
     cdf_min = jnp.min(jnp.where(hist > 0, cdf, h * w + 1),
                       axis=-1, keepdims=True)
     denom = jnp.maximum(h * w - cdf_min, 1)
     lut = jnp.clip(jnp.round((cdf - cdf_min) * 255.0 / denom), 0, 255)
-    out = jax.vmap(jax.vmap(lambda l, x: l[x]))(
-        lut.astype(jnp.float32), flat)  # (B, C, N)
+    out = _apply_lut256(lut, flat)                       # (B, C, N)
     return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
