@@ -118,3 +118,61 @@ def test_csv_logger_append_resume(tmp_path):
     assert all(not ln.startswith("epoch") for ln in lines[1:])
     # appended row follows the ORIGINAL column order
     assert lines[2].split(",")[2:] == ["0.5", "0.4"]
+
+
+class TestCyclicLRModes:
+    """Property tests from the published CLR semantics (Smith 2017 /
+    keras-contrib README): triangular2 halves the amplitude each cycle,
+    exp_range scales it by gamma^iteration.  Not fully de-circularizable
+    with the reference mount empty, but these pin the DOCUMENTED contract
+    so refactors can't silently drift."""
+
+    def test_triangular2_amplitude_halves_per_cycle(self):
+        clr = cb.CyclicLR(base_lr=0.0, max_lr=1.0, step_size=10,
+                          mode="triangular2")
+        c = _ctrl(0.5)
+        peaks = []
+        for cycle in range(3):
+            c.global_step = cycle * 20 + 10  # mid-cycle peak
+            clr.on_batch_begin(c)
+            peaks.append(c.effective_lr)
+        assert math.isclose(peaks[0], 1.0)
+        assert math.isclose(peaks[1], 0.5)
+        assert math.isclose(peaks[2], 0.25)
+
+    def test_exp_range_gamma_decay(self):
+        g = 0.99
+        clr = cb.CyclicLR(base_lr=0.0, max_lr=1.0, step_size=10,
+                          mode="exp_range", gamma=g)
+        c = _ctrl(0.5)
+        c.global_step = 10
+        clr.on_batch_begin(c)
+        assert math.isclose(c.effective_lr, g ** 10)
+        c.global_step = 30
+        clr.on_batch_begin(c)
+        assert math.isclose(c.effective_lr, g ** 30)
+
+    def test_base_lr_floor_nonzero(self):
+        clr = cb.CyclicLR(base_lr=0.2, max_lr=1.0, step_size=5)
+        c = _ctrl(0.5)
+        for step in (0, 10, 20):  # cycle boundaries sit at base_lr
+            c.global_step = step
+            clr.on_batch_begin(c)
+            assert math.isclose(c.effective_lr, 0.2)
+
+
+class TestLRVariatorStyles:
+    def test_cos_style_midpoint_and_ends(self):
+        v = cb.LRVariator(fromVal=0.0, toVal=1.0, steps=10, style="cos")
+        c = _ctrl(0.5)
+        for step, want in ((0, 0.0), (5, 0.5), (10, 1.0), (15, 1.0)):
+            c.global_step = step
+            v.on_batch_begin(c)
+            assert math.isclose(c.effective_lr, want, abs_tol=1e-9), step
+
+    def test_from_defaults_to_config_lr(self):
+        v = cb.LRVariator(toVal=1.0, steps=10)
+        c = _ctrl(0.5)  # base lr 0.5
+        c.global_step = 0
+        v.on_batch_begin(c)
+        assert math.isclose(c.effective_lr, 0.5)
