@@ -63,5 +63,9 @@ class PSPDecoder(nn.Module):
             pooled.append(resize_to(p, h, w, method="bilinear"))
         y = jnp.concatenate([p.astype(y.dtype) for p in pooled], axis=-1)
         y = ConvBN(self.conv_channels, dtype=self.dtype, name="fuse_conv")(y, train)
-        y = resize_to(y, h * 8, w * 8, method="bilinear")
+        # Return at stride 8: the model head resizes LOGITS to full res
+        # (1x1 conv and bilinear resize commute exactly), matching
+        # qubvel's classes-conv-then-UpSampling order.  Upsampling the
+        # 512-channel map first materializes a B×H×W×512 tensor — 8.6 GB
+        # at B32 512² bf16, which crashed the TPU compiler (PERF.md r3).
         return y

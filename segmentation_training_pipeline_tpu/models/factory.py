@@ -114,6 +114,16 @@ class SegmentationModel(nn.Module):
             y = nn.Dropout(self.dropout, deterministic=not train)(y)
         logits = nn.Conv(self.classes, (1, 1), dtype=jnp.float32,
                          name="logits_conv")(y.astype(jnp.float32))
+        if logits.shape[1:3] != x.shape[1:3]:
+            # sub-resolution decoder output (PSPNet, stride 8): resize the
+            # LOGITS — exactly commutes with the 1x1 head, avoids the
+            # full-res conv_channels-wide tensor, and matches the
+            # reference's classes-conv-then-upsample order (activation
+            # applies after resize in both)
+            from .layers import resize_to
+
+            logits = resize_to(logits, x.shape[1], x.shape[2],
+                               method="bilinear")
         return logits
 
 

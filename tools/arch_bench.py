@@ -1,0 +1,70 @@
+"""Train-step throughput across the decoder zoo on the real chip.
+
+Breadth companion to bench.py's Unet-resnet34 headline: one full bf16
+train step (fwd+bwd+adam, BN mutation) per architecture.  Results feed
+PERF.md.  Usage: python tools/arch_bench.py [B] [H] [backbone]
+"""
+
+import sys
+
+import numpy as np
+
+from _util import enable_compile_cache, timeit
+
+enable_compile_cache()
+
+import jax  # noqa: E402
+import optax  # noqa: E402
+
+# B32 default: the step here is NOT donated (timeit re-feeds the same
+# buffers), which roughly doubles residency vs the donated bench.py step
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+H = W = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+BACKBONE = sys.argv[3] if len(sys.argv) > 3 else "resnet34"
+
+ARCHS = ["Unet", "FPN", "Linknet", "PSPNet", "DeepLabV3"]
+
+
+def main():
+    from segmentation_training_pipeline_tpu.models.factory import (
+        create_model, init_model)
+    from segmentation_training_pipeline_tpu.ops.losses import (
+        binary_crossentropy)
+
+    r = np.random.RandomState(0)
+    x = jax.device_put(r.rand(B, H, W, 3).astype(np.float32) * 255.0)
+    y = jax.device_put((r.rand(B, H, W, 1) > 0.5).astype(np.float32))
+    tx = optax.adam(1e-3)
+
+    for arch in ARCHS:
+        model = create_model(arch, BACKBONE, classes=1)
+        variables = init_model(model, (H, W, 3))
+        opt_state = tx.init(variables["params"])
+
+        def step(params, stats, opt_state, x, y, model=model):
+            def lf(p):
+                logits, upd = model.apply(
+                    {"params": p, "batch_stats": stats}, x, train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.PRNGKey(0)})
+                return binary_crossentropy(y, logits), upd["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                lf, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_stats, \
+                opt_state, loss
+
+        jstep = jax.jit(step)
+        try:
+            ms = timeit(f"{arch}-{BACKBONE} train B{B} {H}²", jstep,
+                        variables["params"], variables["batch_stats"],
+                        opt_state, x, y, n=3)
+            print(f"  -> {B / (ms / 1000):.1f} img/s/chip", flush=True)
+        except Exception as e:  # keep going (e.g. HBM OOM at this B)
+            print(f"{arch}-{BACKBONE}: FAILED "
+                  f"({type(e).__name__}: {str(e)[:120]})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
