@@ -130,3 +130,22 @@ class TestAlignedXception:
             jax.ShapeDtypeStruct((1, 128, 128, 3), jnp.float32),
         )
         assert feats[4].shape[1] == 8  # dilated, not strided
+
+
+def test_pspnet_decoder_stays_stride8():
+    """r3 regression: upsampling the 512-channel fused map to full res
+    (instead of resizing the logits in the head) materialized a B×H×W×512
+    temp that crashed the TPU compiler at B32 512² — the decoder must
+    return the stride-8 map (PERF.md round 3)."""
+    from segmentation_training_pipeline_tpu.models.decoders.pspnet import (
+        PSPDecoder)
+
+    dec = PSPDecoder(dtype=jnp.float32)
+    feats = [jax.ShapeDtypeStruct((1, 128 // s, 128 // s, c), jnp.float32)
+             for s, c in ((2, 64), (4, 64), (8, 128), (16, 256), (32, 512))]
+    out = jax.eval_shape(
+        lambda f: dec.init_with_output(RNGS, f, train=False)[0], feats)
+    assert out.shape == (1, 16, 16, 512)  # stride 8, channels intact
+    # and the model head restores full resolution
+    m = create_model("PSPNet", "resnet34", classes=3)
+    assert _out_shape(m).shape == (2, 64, 64, 3)
