@@ -121,6 +121,12 @@ for name, aliases in [
     ("AddElementwise", ()),
     ("MultiplyElementwise", ()),
     ("Autocontrast", ("AutoContrast",)),
+    ("Clouds", ()),
+    ("Fog", ()),
+    ("Snowflakes", ()),
+    ("Rain", ()),
+    ("ChangeColorTemperature", ()),
+    ("UniformColorQuantization", ()),
     # meta-augmenters (children validated recursively at parse time)
     ("Sometimes", ()),
     ("SomeOf", ()),

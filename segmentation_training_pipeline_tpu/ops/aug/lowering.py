@@ -1050,6 +1050,37 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
     elif name in ("autocontrast", "auto_contrast"):
         a = args if not isinstance(args, dict) else args.get("cutoff", 0)
         imgs = ph.autocontrast(imgs, float(a or 0))
+    elif name == "clouds":
+        a = args if isinstance(args, dict) else {"coverage": args}
+        k1, k2 = jax.random.split(k)
+        imgs = ph.clouds(k2, imgs,
+                         _sample(k1, a.get("coverage", [0.2, 0.5]), b))
+    elif name == "fog":
+        a = args if isinstance(args, dict) else {"density": args}
+        k1, k2 = jax.random.split(k)
+        imgs = ph.fog(k2, imgs,
+                      _sample(k1, a.get("density", [0.1, 0.4]), b))
+    elif name == "snowflakes":
+        a = args if isinstance(args, dict) else {}
+        k1, k2, k3 = jax.random.split(k, 3)
+        imgs = ph.snowflakes(
+            k3, imgs, _sample(k1, a.get("density", [0.005, 0.05]), b),
+            _sample(k2, a.get("speed", [0.007, 0.03]), b))
+    elif name == "rain":
+        a = args if isinstance(args, dict) else {}
+        k1, k2, k3 = jax.random.split(k, 3)
+        imgs = ph.rain(
+            k3, imgs, _sample(k1, a.get("density", [0.01, 0.06]), b),
+            _sample(k2, a.get("speed", [0.04, 0.1]), b))
+    elif name == "changecolortemperature":
+        a = args if not isinstance(args, dict) else args.get("kelvin")
+        imgs = ph.change_color_temperature(
+            imgs, _sample(k, a if a is not None else [1000, 11000], b,
+                          6600.0))
+    elif name == "uniformcolorquantization":
+        a = args if not isinstance(args, dict) else args.get("n_colors")
+        imgs = ph.uniform_color_quantization(
+            imgs, _sample(k, a if a is not None else [2, 16], b, 8.0))
     elif name in ("resize", "scale"):
         a = args if not isinstance(args, dict) else \
             args.get("size", args.get("percent", 1.0))

@@ -624,6 +624,140 @@ def channel_shuffle(rng: Array, images: Array, p: Array) -> Array:
     return jnp.where(sel, shuf, images)
 
 
+# ---------------------------------------------------------------------------
+# Weather + color-science augmenters (imgaug.augmenters.weather / color).
+# The weather layers are PROCEDURAL APPROXIMATIONS of imgaug's
+# frequency-noise constructions (docs/schema.md deviations): multi-octave
+# value noise for clouds/fog, sparse-points + directional streak kernels
+# for snow/rain.  All are image-only; masks pass through untouched.
+# ---------------------------------------------------------------------------
+
+def _value_noise(rng: Array, b: int, h: int, w: int,
+                 octaves=(4, 8, 16), persistence: float = 0.5) -> Array:
+    """(B, H, W) multi-octave bilinear value noise in [0, 1]."""
+    total = jnp.zeros((b, h, w), jnp.float32)
+    amp, norm = 1.0, 0.0
+    for i, g in enumerate(octaves):
+        k = jax.random.fold_in(rng, i)
+        coarse = jax.random.uniform(k, (b, g, g))
+        total = total + amp * jax.image.resize(coarse, (b, h, w), "bilinear")
+        norm += amp
+        amp *= persistence
+    return total / norm
+
+
+def clouds(rng: Array, images: Array, coverage: Array) -> Array:
+    """imgaug Clouds (approximation): white overlay where smooth noise
+    exceeds the per-image coverage threshold, soft-ramped, alpha ≤ 0.8."""
+    b, h, w, _ = images.shape
+    noise = _value_noise(rng, b, h, w)
+    a = jnp.clip((noise - (1.0 - coverage[:, None, None])) / 0.25, 0.0, 1.0)
+    a = (0.8 * a)[..., None]
+    return images * (1.0 - a) + 255.0 * a
+
+
+def fog(rng: Array, images: Array, density: Array) -> Array:
+    """imgaug Fog (approximation): uniform haze modulated by low-frequency
+    noise, blended toward white."""
+    b, h, w, _ = images.shape
+    noise = _value_noise(rng, b, h, w, octaves=(2, 4))
+    a = (density[:, None, None] * (0.55 + 0.45 * noise))[..., None]
+    a = jnp.clip(a, 0.0, 0.95)
+    return images * (1.0 - a) + 255.0 * a
+
+
+def _streak_kernels(length: Array, angle: Array, radius: int) -> Array:
+    """(B, K, K) anti-aliased line kernels normalized to PEAK 1 (unlike
+    motion_blur's sum-1) so convolving a sparse point layer keeps the
+    streaks bright."""
+    coords = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(coords, coords, indexing="ij")
+    half = jnp.clip((length - 1.0) / 2.0, 0.0, radius)
+    a = angle * (jnp.pi / 180.0)
+    dx, dy = jnp.sin(a), jnp.cos(a)
+    proj = gx[None] * dx[:, None, None] + gy[None] * dy[:, None, None]
+    perp = jnp.abs(gx[None] * dy[:, None, None]
+                   - gy[None] * dx[:, None, None])
+    w = jnp.clip(1.0 - perp, 0.0, 1.0) * \
+        jnp.clip(half[:, None, None] + 1.0 - jnp.abs(proj), 0.0, 1.0)
+    return w / jnp.maximum(w.max(axis=(1, 2), keepdims=True), 1e-6)
+
+
+def _particle_layer(rng: Array, images: Array, density: Array,
+                    length: Array, angle: Array, radius: int,
+                    brightness: float) -> Array:
+    """Sparse bernoulli points smeared into directional streaks, screen-
+    blended (max) over the image — shared by Snowflakes and Rain."""
+    b, h, w, _ = images.shape
+    pts = (jax.random.uniform(rng, (b, h, w, 1))
+           < density[:, None, None, None]).astype(jnp.float32)
+    kerns = _streak_kernels(length, angle, radius)
+    layer = jax.vmap(lambda img, ker: _depthwise_kxk(img, ker, radius))(
+        pts * brightness, kerns)
+    return jnp.maximum(images, jnp.clip(layer, 0.0, brightness))
+
+
+def snowflakes(rng: Array, images: Array, density: Array,
+               speed: Array, radius: int = 8) -> Array:
+    """imgaug Snowflakes (approximation): density ~ flake fraction,
+    speed (0..1) ~ streak length fraction of the frame."""
+    h = images.shape[1]
+    k1, k2 = jax.random.split(rng)
+    b = images.shape[0]
+    length = jnp.clip(speed * h, 1.0, 2.0 * radius + 1.0)
+    angle = jax.random.uniform(k1, (b,), minval=-30.0, maxval=30.0)
+    return _particle_layer(k2, images, density, length, angle, radius,
+                           brightness=255.0)
+
+
+def rain(rng: Array, images: Array, density: Array, speed: Array,
+         radius: int = 12) -> Array:
+    """imgaug Rain (approximation): longer dimmer streaks, slight global
+    darkening (heavy rain reads darker)."""
+    h = images.shape[1]
+    k1, k2 = jax.random.split(rng)
+    b = images.shape[0]
+    length = jnp.clip(speed * h, 3.0, 2.0 * radius + 1.0)
+    angle = jax.random.uniform(k1, (b,), minval=-20.0, maxval=20.0)
+    darkened = images * 0.92
+    return _particle_layer(k2, darkened, density, length, angle, radius,
+                           brightness=220.0)
+
+
+def change_color_temperature(images: Array, kelvin: Array) -> Array:
+    """imgaug ChangeColorTemperature: scale RGB by the blackbody color at
+    ``kelvin`` (B,).  Uses Tanner Helland's analytic fit instead of
+    imgaug's 1000–40000 K lookup table (≤2 gray levels apart over the
+    1000–11000 K default range — docs/schema.md)."""
+    if images.shape[-1] != 3:
+        return images
+    t = jnp.clip(kelvin, 1000.0, 40000.0) / 100.0
+    red = jnp.where(t <= 66.0, 255.0,
+                    329.698727446 * jnp.maximum(t - 60.0, 1e-6)
+                    ** -0.1332047592)
+    green = jnp.where(
+        t <= 66.0,
+        99.4708025861 * jnp.log(jnp.maximum(t, 1e-6)) - 161.1195681661,
+        288.1221695283 * jnp.maximum(t - 60.0, 1e-6) ** -0.0755148492)
+    blue = jnp.where(t >= 66.0, 255.0,
+                     jnp.where(t <= 19.0, 0.0,
+                               138.5177312231
+                               * jnp.log(jnp.maximum(t - 10.0, 1e-6))
+                               - 305.0447927307))
+    rgb = jnp.stack([red, green, blue], axis=-1)          # (B, 3)
+    rgb = jnp.clip(rgb, 0.0, 255.0) / 255.0
+    return images * rgb[:, None, None, :]
+
+
+def uniform_color_quantization(images: Array, n_colors: Array) -> Array:
+    """imgaug UniformColorQuantization: quantize every channel to n
+    uniform levels, mapping to BIN CENTERS; n (B,) rounds to ≥2."""
+    n = jnp.maximum(jnp.round(n_colors), 2.0)[:, None, None, None]
+    size = 256.0 / n
+    v = jnp.clip(images, 0.0, 255.0)
+    return jnp.clip(jnp.floor(v / size) * size + size / 2.0, 0.0, 255.0)
+
+
 def histogram_equalization(images: Array) -> Array:
     """cv2.equalizeHist per channel (imgaug
     AllChannelsHistogramEqualization): 256-bin histogram → cdf →

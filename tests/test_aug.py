@@ -679,3 +679,64 @@ class TestBatch5Augmenters:
         imgs = np.full((1, 8, 8, 3), 77, np.uint8)
         oi, _ = _run([("Autocontrast", None)], imgs, _masks(1, 8, 8))
         np.testing.assert_allclose(oi, 77.0, atol=1e-4)
+
+
+class TestBatch6Augmenters:
+    """Round-3 surface batch 6: weather layers (procedural
+    approximations), color temperature, uniform quantization."""
+
+    def test_clouds_brighten_image_not_mask(self):
+        imgs = np.full((2, 32, 32, 3), 60, np.uint8)
+        masks = _masks(2, 32, 32)
+        oi, om = _run([("Clouds", {"coverage": [0.6, 0.6]})], imgs, masks)
+        assert oi.mean() > 62.0          # white overlay raises the mean
+        assert oi.max() > 100.0
+        np.testing.assert_array_equal(om, masks)
+
+    def test_fog_density_monotonic(self):
+        imgs = np.full((1, 32, 32, 3), 60, np.uint8)
+        lo, _ = _run([("Fog", {"density": [0.1, 0.1]})], imgs,
+                     _masks(1, 32, 32))
+        hi, _ = _run([("Fog", {"density": [0.6, 0.6]})], imgs,
+                     _masks(1, 32, 32))
+        assert hi.mean() > lo.mean() > 60.0
+
+    def test_snowflakes_add_bright_specks(self):
+        imgs = np.full((1, 64, 64, 3), 30, np.uint8)
+        oi, _ = _run([("Snowflakes", {"density": [0.02, 0.02],
+                                      "speed": [0.02, 0.02]})],
+                     imgs, _masks(1, 64, 64))
+        assert oi.max() > 200.0          # bright streaks appear
+        assert (oi >= 30.0 - 1e-4).all()  # screen blend never darkens
+
+    def test_rain_streaks_and_darkening(self):
+        imgs = np.full((1, 64, 64, 3), 120, np.uint8)
+        oi, _ = _run([("Rain", {"density": [0.03, 0.03],
+                                "speed": [0.08, 0.08]})],
+                     imgs, _masks(1, 64, 64))
+        assert oi.max() > 180.0          # streaks
+        assert oi.min() < 120.0          # background darkened
+
+    def test_color_temperature_warm_vs_cool(self):
+        imgs = np.full((1, 8, 8, 3), 128, np.uint8)
+        warm, _ = _run([("ChangeColorTemperature",
+                         {"kelvin": [2000, 2000]})], imgs, _masks(1, 8, 8))
+        cool, _ = _run([("ChangeColorTemperature",
+                         {"kelvin": [20000, 20000]})], imgs, _masks(1, 8, 8))
+        # warm light keeps red, kills blue; cool light the reverse
+        assert warm[0, 0, 0, 0] > warm[0, 0, 0, 2] + 30
+        assert cool[0, 0, 0, 2] > cool[0, 0, 0, 0] + 10
+        # 6600K is near-neutral
+        neutral, _ = _run([("ChangeColorTemperature",
+                            {"kelvin": [6600, 6600]})], imgs,
+                          _masks(1, 8, 8))
+        np.testing.assert_allclose(neutral, 128.0, atol=6.0)
+
+    def test_uniform_quantization_levels(self):
+        imgs = _imgs(1, 16, 16)
+        oi, _ = _run([("UniformColorQuantization",
+                       {"n_colors": [4, 4]})], imgs, _masks(1, 16, 16))
+        levels = np.unique(oi)
+        assert len(levels) <= 4
+        np.testing.assert_allclose(
+            sorted(set(levels) - {32.0, 96.0, 160.0, 224.0}), [])
