@@ -34,6 +34,12 @@ SPECS = [
     ("AddElementwise", [-15, 15]),
     ("Autocontrast", 2),
     ("AddToHueAndSaturation", {"value": [-20, 20]}),
+    ("Clouds", {"coverage": [0.2, 0.5]}),
+    ("Fog", {"density": [0.1, 0.4]}),
+    ("Snowflakes", {"density": [0.005, 0.05], "speed": [0.007, 0.03]}),
+    ("Rain", {"density": [0.01, 0.06], "speed": [0.04, 0.1]}),
+    ("ChangeColorTemperature", {"kelvin": [1000, 11000]}),
+    ("UniformColorQuantization", {"n_colors": [2, 16]}),
 ]
 
 
