@@ -22,6 +22,7 @@ from .data.datasets import (
     PredictionItem,
     DataSet,
     CompositeDataSet,
+    CSVRLEDataSet,
     SubDataSet,
     KFoldedDataSet,
     DirectoryDataSet,
@@ -37,6 +38,7 @@ __all__ = [
     "PredictionItem",
     "DataSet",
     "CompositeDataSet",
+    "CSVRLEDataSet",
     "SubDataSet",
     "KFoldedDataSet",
     "DirectoryDataSet",

@@ -25,7 +25,10 @@ def _build_parser():
     f = sub.add_parser("fit", help="train all folds/stages per the YAML config")
     f.add_argument("config")
     f.add_argument("--images", required=True, help="images directory")
-    f.add_argument("--masks", required=True, help="masks directory")
+    f.add_argument("--masks", default=None, help="masks directory")
+    f.add_argument("--rle-csv", default=None,
+                   help="Kaggle-style CSV with id + RLE mask columns "
+                        "(alternative to --masks)")
     f.add_argument("--folds", type=int, nargs="*", default=None)
     f.add_argument("--start-stage", type=int, default=0)
 
@@ -40,7 +43,8 @@ def _build_parser():
     ev = sub.add_parser("evaluate", help="metrics over a labeled directory")
     ev.add_argument("config")
     ev.add_argument("--images", required=True)
-    ev.add_argument("--masks", required=True)
+    ev.add_argument("--masks", default=None)
+    ev.add_argument("--rle-csv", default=None)
     ev.add_argument("--folds", type=int, nargs="*", default=None)
     ev.add_argument("--stage", type=int, default=-1)
     return p
@@ -75,11 +79,18 @@ def main(argv=None) -> int:
 
     maybe_initialize()
     from . import parse
-    from .data.datasets import DirectoryDataSet
+    from .data.datasets import CSVRLEDataSet, DirectoryDataSet
+
+    def _dataset(a):
+        if getattr(a, "rle_csv", None):
+            return CSVRLEDataSet(a.images, a.rle_csv)
+        if not a.masks:
+            raise SystemExit("need --masks or --rle-csv")
+        return DirectoryDataSet(a.images, a.masks)
 
     cfg = parse(args.config)
     if args.cmd == "fit":
-        ds = DirectoryDataSet(args.images, args.masks)
+        ds = _dataset(args)
         res = cfg.fit(ds, foldsToExecute=args.folds,
                       start_from_stage=args.start_stage)
         print(json.dumps(res, indent=2, default=str))
@@ -88,7 +99,7 @@ def main(argv=None) -> int:
                                    stage=args.stage, threshold=args.threshold)
         print(f"wrote {n} masks to {args.dst}")
     elif args.cmd == "evaluate":
-        ds = DirectoryDataSet(args.images, args.masks)
+        ds = _dataset(args)
         res = cfg.evaluate(ds, folds=args.folds, stage=args.stage)
         print(json.dumps(res, indent=2))
     return 0

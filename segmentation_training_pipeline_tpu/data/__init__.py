@@ -2,6 +2,7 @@ from .datasets import (
     PredictionItem,
     DataSet,
     CompositeDataSet,
+    CSVRLEDataSet,
     SubDataSet,
     DirectoryDataSet,
     KFoldedDataSet,

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -220,6 +220,90 @@ class DirectoryDataSet(DataSet):
                 raise IOError(f"failed to read mask for {fname!r}")
             y = m
         return PredictionItem(stem, img, y)
+
+
+class CSVRLEDataSet(DataSet):
+    """images-dir + Kaggle-style CSV (image id + RLE-encoded mask) →
+    dataset of PredictionItems — the READ side of the competition loop
+    whose write side is ``predict_to_csv`` (SURVEY §2a RLE row; the
+    reference's TGS-salt / Airbus-era examples consume exactly this
+    layout).
+
+    * Column names auto-detect: id from ``id``/``ImageId``/``img_id``/
+      ``image_id``, rle from ``rle_mask``/``EncodedPixels``/``rle``/
+      ``encoded_pixels`` (or pass ``id_column``/``rle_column``).
+    * Multiple rows per id (Airbus instance masks) union into one binary
+      mask; an empty/NaN rle is a negative (empty mask) — which is what
+      ``negatives:`` sampling keys off.
+    * RLE is column-major 1-indexed (utils/rle.py); the mask shape is the
+      decoded image's (H, W).
+    """
+
+    def __init__(self, images_dir: str, csv_path: str,
+                 id_column: Optional[str] = None,
+                 rle_column: Optional[str] = None):
+        import csv as _csv
+
+        from ..utils.rle import rle_decode
+
+        self._rle_decode = rle_decode
+        self.images_dir = images_dir
+        files = sorted(
+            f for f in os.listdir(images_dir)
+            if f.lower().endswith(_IMG_EXTS))
+        if not files:
+            raise ValueError(f"no images found in {images_dir!r}")
+        by_stem = {os.path.splitext(f)[0]: f for f in files}
+
+        with open(csv_path, newline="") as fh:
+            reader = _csv.DictReader(fh)
+            cols = reader.fieldnames or []
+            idc = id_column or next(
+                (c for c in cols
+                 if c.lower() in ("id", "imageid", "img_id", "image_id")),
+                None)
+            rlec = rle_column or next(
+                (c for c in cols
+                 if c.lower() in ("rle_mask", "encodedpixels", "rle",
+                                  "encoded_pixels", "mask")), None)
+            if idc is None or rlec is None:
+                raise ValueError(
+                    f"{csv_path}: cannot find id/rle columns in {cols} — "
+                    "pass id_column=/rle_column=")
+            rles: Dict[str, List[str]] = {}
+            for row in reader:
+                stem = os.path.splitext(str(row[idc]))[0]
+                rles.setdefault(stem, []).append(row[rlec] or "")
+
+        missing = sorted(set(rles) - set(by_stem))
+        if missing:
+            raise ValueError(
+                f"{csv_path} references ids with no image in "
+                f"{images_dir!r}: {missing[:5]}{'...' if len(missing) > 5 else ''}")
+        # CSV order defines membership: ids absent from the CSV are test
+        # images and stay out of this (training) dataset
+        self.items = sorted(rles)
+        self._files = by_stem
+        self._rles = rles
+
+    def __len__(self):
+        return len(self.items)
+
+    def image_path(self, idx: int) -> str:
+        return os.path.join(self.images_dir, self._files[self.items[idx]])
+
+    def __getitem__(self, idx):
+        import cv2
+
+        stem = self.items[idx]
+        img = cv2.imread(self.image_path(idx), cv2.IMREAD_COLOR)
+        if img is None:
+            raise IOError(f"failed to read image for id {stem!r}")
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        mask = np.zeros(img.shape[:2], np.uint8)
+        for rle in self._rles[stem]:
+            mask |= self._rle_decode(rle, img.shape[:2])
+        return PredictionItem(stem, img, mask * 255)
 
 
 # ---------------------------------------------------------------------------

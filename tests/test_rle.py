@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from segmentation_training_pipeline_tpu.utils.rle import rle_decode, rle_encode
 
@@ -27,3 +28,55 @@ def test_empty_and_full():
 def test_decode_nan_like():
     assert rle_decode(None, (2, 2)).sum() == 0
     assert rle_decode("nan", (2, 2)).sum() == 0
+
+
+class TestCSVRLEDataSet:
+    """Read side of the Kaggle loop (SURVEY §2a RLE row): images dir +
+    id/EncodedPixels CSV → PredictionItems."""
+
+    def _mk(self, tmp_path, rows, header="ImageId,EncodedPixels",
+            n_imgs=3):
+        import cv2
+        from segmentation_training_pipeline_tpu.data.datasets import (
+            CSVRLEDataSet)
+
+        imgs = tmp_path / "imgs"
+        imgs.mkdir(exist_ok=True)
+        for i in range(n_imgs):
+            cv2.imwrite(str(imgs / f"im{i}.png"),
+                        np.random.RandomState(i).randint(
+                            0, 255, (8, 6, 3), np.uint8))
+        csvp = tmp_path / "train.csv"
+        csvp.write_text(header + "\n" + "\n".join(rows) + "\n")
+        return CSVRLEDataSet(str(imgs), str(csvp))
+
+    def test_roundtrip_and_union(self, tmp_path):
+        m1 = np.zeros((8, 6), np.uint8)
+        m1[2:5, 1:4] = 1
+        m2 = np.zeros((8, 6), np.uint8)
+        m2[6:8, 4:6] = 1
+        ds = self._mk(tmp_path, [
+            f"im0.png,{rle_encode(m1)}",
+            f"im0.png,{rle_encode(m2)}",   # second instance row unions
+            "im1.png,",                    # negative
+        ])
+        assert len(ds) == 2                # im2 absent from csv = test img
+        it0 = ds[0]
+        assert it0.id == "im0"
+        np.testing.assert_array_equal(it0.y, (m1 | m2) * 255)
+        assert ds[1].y.max() == 0          # empty mask, not None
+
+    def test_column_autodetect_lowercase(self, tmp_path):
+        m = np.zeros((8, 6), np.uint8)
+        m[0, 0] = 1
+        ds = self._mk(tmp_path, [f"im0,{rle_encode(m)}"],
+                      header="id,rle_mask")
+        np.testing.assert_array_equal(ds[0].y, m * 255)
+
+    def test_missing_image_errors(self, tmp_path):
+        with pytest.raises(ValueError, match="no image"):
+            self._mk(tmp_path, ["ghost.png,1 3"])
+
+    def test_bad_columns_error(self, tmp_path):
+        with pytest.raises(ValueError, match="id/rle"):
+            self._mk(tmp_path, ["im0.png,1 3"], header="foo,bar")
