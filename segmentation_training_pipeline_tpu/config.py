@@ -131,7 +131,8 @@ class Stage:
         )
 
 
-_TTA_VALUES = {"flip", "hflip", "flips", "d4_subset", "hvflip"}
+_TTA_VALUES = {"flip", "hflip", "flips", "d4_subset", "hvflip", "d4",
+               "full"}
 
 
 def _check_tta(v):

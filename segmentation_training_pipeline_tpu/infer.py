@@ -37,6 +37,12 @@ class InferenceBundle:
     def __init__(self, cfg: PipelineConfig, folds: Sequence[int], stage: int,
                  tta: Optional[str] = None):
         self.cfg = cfg
+        self.tta = tta if tta is not None else (
+            "flip" if cfg.flipPred else cfg.testTimeAugmentation)
+        if self.tta in ("d4", "full") and cfg.shape[0] != cfg.shape[1]:
+            raise ValueError(
+                "testTimeAugmentation: d4 needs a square shape (rot90 "
+                f"members change H/W), got {cfg.shape[:2]} — use 'flips'")
         self.model = model_from_config(cfg)
         self.stage = stage if stage >= 0 else len(cfg.stages) - 1
         self.folds = list(folds)
@@ -51,8 +57,6 @@ class InferenceBundle:
             load_checkpoint(cfg.weights_path(f, self.stage), template)
             for f in self.folds
         ]
-        self.tta = tta if tta is not None else (
-            "flip" if cfg.flipPred else cfg.testTimeAugmentation)
         self._predict = self._build()
 
     def _build(self):
@@ -84,6 +88,24 @@ class InferenceBundle:
                 acc = acc + fwd(variables, x[:, ::-1, :, :])[:, ::-1, :, :]
                 acc = acc + fwd(variables, x[:, ::-1, ::-1, :])[:, ::-1, ::-1, :]
                 p = acc / 4.0
+            elif tta in ("d4", "full"):
+                # all 8 dihedral symmetries (I, H, V, R180=HV, R90, R270,
+                # transpose, anti-transpose), fused into ONE jit like the
+                # other modes; square frames only (rot90 changes H/W)
+                def anti(z):  # anti-diagonal reflection, an involution
+                    return jnp.swapaxes(z, 1, 2)[:, ::-1, ::-1, :]
+
+                acc = p
+                acc = acc + fwd(variables, x[:, :, ::-1, :])[:, :, ::-1, :]
+                acc = acc + fwd(variables, x[:, ::-1, :, :])[:, ::-1, :, :]
+                acc = acc + fwd(variables, x[:, ::-1, ::-1, :])[:, ::-1, ::-1, :]
+                for k in (1, 3):
+                    xr = jnp.rot90(x, k, axes=(1, 2))
+                    acc = acc + jnp.rot90(fwd(variables, xr), -k, axes=(1, 2))
+                xt = jnp.swapaxes(x, 1, 2)  # main-diagonal reflection
+                acc = acc + jnp.swapaxes(fwd(variables, xt), 1, 2)
+                acc = acc + anti(fwd(variables, anti(x)))
+                p = acc / 8.0
             return p
 
         return jax.jit(_step)

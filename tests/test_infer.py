@@ -189,3 +189,41 @@ class TestCrops:
 
         items = list(predict_on_dataset(cfg2, one, folds=[0], stage=0))
         assert items[0].prediction.shape == (64, 64, 1)
+
+
+class TestD4TTA:
+    def test_d4_runs_and_is_dihedral_invariant(self, trained2):
+        """D4-averaged probabilities must be (numerically) invariant under
+        any dihedral transform of the input — the defining property of
+        full-group TTA, and one partial modes don't have."""
+        cfg, ds, tmp = trained2
+        from segmentation_training_pipeline_tpu.data.batcher import (
+            prepare_image)
+        from segmentation_training_pipeline_tpu.infer import InferenceBundle
+
+        imgs = np.stack([prepare_image(ds[i].x, cfg.shape)
+                         for i in range(2)])
+        bundle = InferenceBundle(cfg, [0], 0, tta="d4")
+        p = bundle.predict_probs(imgs)
+        assert p.shape[:3] == imgs.shape[:3]
+        # rotate the INPUT by 90 deg: the d4-averaged field must rotate
+        # with it (group closure)
+        rot = np.rot90(imgs, 1, axes=(1, 2)).copy()
+        p_rot = bundle.predict_probs(rot)
+        np.testing.assert_allclose(np.rot90(p, 1, axes=(1, 2)), p_rot,
+                                   atol=1e-4)
+        # and flipping too
+        p_flip = bundle.predict_probs(imgs[:, :, ::-1].copy())
+        np.testing.assert_allclose(p[:, :, ::-1], p_flip, atol=1e-4)
+
+    def test_d4_rejects_nonsquare(self, trained2):
+        cfg, ds, tmp = trained2
+        from segmentation_training_pipeline_tpu.infer import InferenceBundle
+
+        orig = cfg.shape
+        object.__setattr__(cfg, "shape", (32, 64, 3))
+        try:
+            with pytest.raises(ValueError, match="square"):
+                InferenceBundle(cfg, [0], 0, tta="d4")
+        finally:
+            object.__setattr__(cfg, "shape", orig)
