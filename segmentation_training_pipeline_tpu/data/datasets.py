@@ -83,6 +83,15 @@ class SubDataSet(DataSet):
     def mask_path(self, idx: int):
         return self.parent.mask_path(int(self.indices[idx]))  # type: ignore[attr-defined]
 
+    def __getattr__(self, name):
+        # forward OPTIONAL protocol hooks (item_is_negative) when the
+        # parent has them; index-taking hooks must remap through indices
+        if name == "item_is_negative" and hasattr(self.parent,
+                                                  "item_is_negative"):
+            return lambda i: self.parent.item_is_negative(
+                int(self.indices[i]))
+        raise AttributeError(name)
+
 
 class LambdaDataSet(DataSet):
     """Build a dataset from arrays or callables (used by tests/examples)."""
@@ -272,8 +281,13 @@ class CSVRLEDataSet(DataSet):
                     "pass id_column=/rle_column=")
             rles: Dict[str, List[str]] = {}
             for row in reader:
-                stem = os.path.splitext(str(row[idc]))[0]
-                rles.setdefault(stem, []).append(row[rlec] or "")
+                rid = str(row[idc])
+                # strip only a KNOWN image extension: bare ids may contain
+                # dots ('scan.v2_001'), and a blind splitext would mangle
+                # them (or collide two ids into one stem)
+                if rid.lower().endswith(_IMG_EXTS):
+                    rid = os.path.splitext(rid)[0]
+                rles.setdefault(rid, []).append(row[rlec] or "")
 
         missing = sorted(set(rles) - set(by_stem))
         if missing:
@@ -291,6 +305,14 @@ class CSVRLEDataSet(DataSet):
 
     def image_path(self, idx: int) -> str:
         return os.path.join(self.images_dir, self._files[self.items[idx]])
+
+    def item_is_negative(self, idx: int) -> bool:
+        """Mask emptiness straight from the CSV — no image decode.
+        KFoldedDataSet's negativity scan prefers this hook, so
+        ``negatives:``/``stratified:`` configs don't trigger a
+        full-dataset decode sweep on Kaggle-scale CSVs."""
+        return not any(str(r).strip() and str(r).strip().lower() != "nan"
+                       for r in self._rles[self.items[idx]])
 
     def __getitem__(self, idx):
         import cv2
@@ -417,8 +439,13 @@ class KFoldedDataSet:
     def _negativity(self) -> np.ndarray:
         if self._neg_cache is None:
             flags = np.zeros(len(self.dataset), dtype=bool)
+            # datasets that KNOW emptiness without decoding (CSVRLEDataSet:
+            # all RLE rows blank) expose item_is_negative — a full-dataset
+            # image-decode sweep here costs minutes on Kaggle-scale CSVs
+            cheap = getattr(self.dataset, "item_is_negative", None)
             for i in range(len(self.dataset)):
-                flags[i] = _is_negative(self.dataset[i])
+                flags[i] = (cheap(i) if cheap is not None
+                            else _is_negative(self.dataset[i]))
             self._neg_cache = flags
         return self._neg_cache
 

@@ -69,9 +69,10 @@ class AlignedDeepLabDecoder(nn.Module):
     [pool, 1x1, rate6, rate12, rate18]; decoder BNs use eps 1e-5
     (encoder BNs 1e-3 — bonlime's split).  Upsampling deviation: bilinear
     with half-pixel centers (bonlime used tf resize align_corners=True).
-    The final 1x1 logits conv lives in SegmentationModel AFTER the ×4
-    upsample — pointwise-linear and bilinear resize commute exactly, so
-    this matches bonlime's conv-then-upsample arithmetic."""
+    Output is the STRIDE-4 feature map; SegmentationModel applies the 1x1
+    logits conv there and bilinear-resizes the logits ×4 — exactly
+    bonlime's conv-then-upsample arithmetic (pointwise-linear and
+    bilinear resize commute)."""
 
     channels: int = 256
     rates: Sequence[int] = (6, 12, 18)
@@ -118,8 +119,11 @@ class AlignedDeepLabDecoder(nn.Module):
                         dtype=d, depth_activation=True)
         y = sep_conv_bn(y, self.channels, "decoder_conv1", norm=norm,
                         dtype=d, depth_activation=True)
-        return resize_to(y, skip.shape[1] * 4, skip.shape[2] * 4,
-                         method="bilinear")
+        # stride 4: the model head resizes LOGITS (commutes with the 1x1
+        # conv; upsampling 256 channels first costs 256/classes× the
+        # resize memory — the PSPNet-crash tensor class, PERF.md r3).
+        # bonlime also convs-then-upsamples.
+        return y
 
 
 class DeepLabV3PlusDecoder(nn.Module):
@@ -137,5 +141,6 @@ class DeepLabV3PlusDecoder(nn.Module):
         y = jnp.concatenate([y, low.astype(y.dtype)], axis=-1)
         y = ConvBN(self.channels, dtype=self.dtype, name="refine1")(y, train)
         y = ConvBN(self.channels, dtype=self.dtype, name="refine2")(y, train)
-        y = resize_to(y, c2.shape[1] * 4, c2.shape[2] * 4, method="bilinear")
+        # stride 4: the model head resizes the logits (see the aligned
+        # decoder's note — avoids the full-res 256-channel temp)
         return y

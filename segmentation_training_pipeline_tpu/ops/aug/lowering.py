@@ -170,10 +170,13 @@ def _coerce_block(spec) -> List[Dict[str, Any]]:
         nm = e["name"].lower()
         a = e["args"]
         if nm == "rotate":
-            if isinstance(a, dict) and "rotate" not in a:
-                a = a.get("value", [-30, 30])
+            if isinstance(a, dict) and "rotate" in a:
+                e["args"] = a          # already Affine-kwarg shaped
+            else:
+                if isinstance(a, dict):
+                    a = a.get("value", [-30, 30])
+                e["args"] = {"rotate": a if a is not None else [-30, 30]}
             e["name"] = "Affine"
-            e["args"] = {"rotate": a if a is not None else [-30, 30]}
         elif nm in ("translatex", "translatey"):
             ax = "x" if nm.endswith("x") else "y"
             if isinstance(a, dict):

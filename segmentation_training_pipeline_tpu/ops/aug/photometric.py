@@ -527,10 +527,15 @@ def _dct_quant_plane(plane: Array, qt: Array) -> Array:
     b, h, w = plane.shape
     d = _dct8()
     blocks = plane.reshape(b, h // 8, 8, w // 8, 8)
-    coef = jnp.einsum("ui,bhiwj,vj->bhuwv", d, blocks, d)
+    # HIGHEST precision: TPU default matmul truncates f32 to bf16, and a
+    # ~0.3% coefficient error flips quantization bins outright at
+    # high-quality tables (q as low as 1-2) — same trap fast_warp.py
+    # documents for its tap-matrix dots
+    hp = jax.lax.Precision.HIGHEST
+    coef = jnp.einsum("ui,bhiwj,vj->bhuwv", d, blocks, d, precision=hp)
     qb = qt[:, None, :, None, :]                    # broadcast over blocks
     coef = jnp.round(coef / qb) * qb
-    out = jnp.einsum("ui,bhuwv,vj->bhiwj", d, coef, d)
+    out = jnp.einsum("ui,bhuwv,vj->bhiwj", d, coef, d, precision=hp)
     return out.reshape(b, h, w)
 
 

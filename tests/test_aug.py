@@ -740,3 +740,12 @@ class TestBatch6Augmenters:
         assert len(levels) <= 4
         np.testing.assert_allclose(
             sorted(set(levels) - {32.0, 96.0, 160.0, 224.0}), [])
+
+
+def test_rotate_dict_kwarg_form():
+    """r3 review: `Rotate: {rotate: [...]}` double-wrapped into
+    {'rotate': {'rotate': ...}} and crashed at build time."""
+    imgs, masks = _imgs(h=17, w=17), _masks(h=17, w=17)
+    a, _ = _run([("Rotate", {"rotate": [10, 10]})], imgs, masks, seed=5)
+    b, _ = _run([("Affine", {"rotate": [10, 10]})], imgs, masks, seed=5)
+    np.testing.assert_allclose(a, b, atol=1e-4)

@@ -149,3 +149,30 @@ def test_pspnet_decoder_stays_stride8():
     # and the model head restores full resolution
     m = create_model("PSPNet", "resnet34", classes=3)
     assert _out_shape(m).shape == (2, 64, 64, 3)
+
+
+def test_deeplab_decoders_stay_stride4():
+    """r3 review: both DeepLab decoders must return the stride-4 map (the
+    head resizes logits) — upsampling 256 channels first is the PSPNet
+    compiler-crash tensor class."""
+    from segmentation_training_pipeline_tpu.models.decoders import (
+        AlignedDeepLabDecoder, DeepLabV3PlusDecoder)
+
+    feats = [jax.ShapeDtypeStruct((1, 128 // s, 128 // s, c), jnp.float32)
+             for s, c in ((2, 64), (4, 64), (8, 128), (16, 256), (32, 512))]
+    out = jax.eval_shape(
+        lambda f: DeepLabV3PlusDecoder(dtype=jnp.float32).init_with_output(
+            RNGS, f, train=False)[0], feats)
+    assert out.shape == (1, 32, 32, 256)
+    # aligned variant consumes the OS16 layout (C5 at stride 16)
+    feats16 = [jax.ShapeDtypeStruct((1, 128 // s, 128 // s, c), jnp.float32)
+               for s, c in ((2, 64), (4, 256), (8, 256), (16, 728),
+                            (16, 2048))]
+    out = jax.eval_shape(
+        lambda f: AlignedDeepLabDecoder(dtype=jnp.float32).init_with_output(
+            RNGS, f, train=False)[0], feats16)
+    assert out.shape == (1, 32, 32, 256)
+    for arch, backbone in (("DeepLabV3", "resnet34"),
+                           ("DeepLabV3", "xception_aligned")):
+        m = create_model(arch, backbone, classes=2)
+        assert _out_shape(m).shape == (2, 64, 64, 2)

@@ -80,3 +80,56 @@ class TestCSVRLEDataSet:
     def test_bad_columns_error(self, tmp_path):
         with pytest.raises(ValueError, match="id/rle"):
             self._mk(tmp_path, ["im0.png,1 3"], header="foo,bar")
+
+
+def test_csvrle_dotted_ids_survive(tmp_path):
+    """r3 review: blind splitext mangled extensionless ids containing a
+    dot ('scan.v2_001' → 'scan.v2')."""
+    import cv2
+    from segmentation_training_pipeline_tpu.data.datasets import (
+        CSVRLEDataSet)
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    cv2.imwrite(str(imgs / "scan.v2_001.png"),
+                np.zeros((8, 6, 3), np.uint8))
+    m = np.zeros((8, 6), np.uint8)
+    m[1, 1] = 1
+    (tmp_path / "t.csv").write_text(
+        f"ImageId,EncodedPixels\nscan.v2_001,{rle_encode(m)}\n")
+    ds = CSVRLEDataSet(str(imgs), str(tmp_path / "t.csv"))
+    assert ds[0].id == "scan.v2_001"
+    np.testing.assert_array_equal(ds[0].y, m * 255)
+
+
+def test_csvrle_negativity_without_decode(tmp_path):
+    """r3 review: negatives/stratified scans must use the CSV's knowledge
+    of emptiness, not decode every image."""
+    import cv2
+    from segmentation_training_pipeline_tpu.data.datasets import (
+        CSVRLEDataSet, KFoldedDataSet)
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    m = np.zeros((8, 6), np.uint8)
+    m[1:3, 1:3] = 1
+    rows = ["ImageId,EncodedPixels"]
+    for i in range(6):
+        cv2.imwrite(str(imgs / f"im{i}.png"), np.zeros((8, 6, 3), np.uint8))
+        rows.append(f"im{i}.png,{rle_encode(m) if i % 2 else ''}")
+    (tmp_path / "t.csv").write_text("\n".join(rows) + "\n")
+    ds = CSVRLEDataSet(str(imgs), str(tmp_path / "t.csv"))
+    assert [ds.item_is_negative(i) for i in range(6)] == \
+        [True, False, True, False, True, False]
+
+    decodes = []
+    orig = CSVRLEDataSet.__getitem__
+    CSVRLEDataSet.__getitem__ = lambda self, i: (decodes.append(i),
+                                                 orig(self, i))[1]
+    try:
+        kf = KFoldedDataSet(ds, folds_count=2, random_state=33)
+        flags = kf._negativity()
+    finally:
+        CSVRLEDataSet.__getitem__ = orig
+    assert decodes == []               # zero image decodes
+    assert flags.sum() == 3

@@ -2,7 +2,9 @@
 
 Breadth companion to bench.py's Unet-resnet34 headline: one full bf16
 train step (fwd+bwd+adam, BN mutation) per architecture.  Results feed
-PERF.md.  Usage: python tools/arch_bench.py [B] [H] [backbone]
+PERF.md.  Usage: python tools/arch_bench.py [B] [H] [backbone] [archs…]
+(e.g. ``arch_bench.py 32 512 xception_aligned DeepLabV3`` reproduces the
+aligned-DeepLab spot check — tools/deeplab_spot.py is that shortcut).
 """
 
 import sys
@@ -16,29 +18,25 @@ enable_compile_cache()
 import jax  # noqa: E402
 import optax  # noqa: E402
 
-# B32 default: the step here is NOT donated (timeit re-feeds the same
-# buffers), which roughly doubles residency vs the donated bench.py step
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-H = W = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-BACKBONE = sys.argv[3] if len(sys.argv) > 3 else "resnet34"
-
 ARCHS = ["Unet", "FPN", "Linknet", "PSPNet", "DeepLabV3"]
 
 
-def main():
+def bench_archs(archs, backbone: str, batch: int, size: int):
     from segmentation_training_pipeline_tpu.models.factory import (
         create_model, init_model)
     from segmentation_training_pipeline_tpu.ops.losses import (
         binary_crossentropy)
 
     r = np.random.RandomState(0)
-    x = jax.device_put(r.rand(B, H, W, 3).astype(np.float32) * 255.0)
-    y = jax.device_put((r.rand(B, H, W, 1) > 0.5).astype(np.float32))
+    x = jax.device_put(r.rand(batch, size, size, 3).astype(np.float32)
+                       * 255.0)
+    y = jax.device_put((r.rand(batch, size, size, 1) > 0.5)
+                       .astype(np.float32))
     tx = optax.adam(1e-3)
 
-    for arch in ARCHS:
-        model = create_model(arch, BACKBONE, classes=1)
-        variables = init_model(model, (H, W, 3))
+    for arch in archs:
+        model = create_model(arch, backbone, classes=1)
+        variables = init_model(model, (size, size, 3))
         opt_state = tx.init(variables["params"])
 
         def step(params, stats, opt_state, x, y, model=model):
@@ -55,15 +53,25 @@ def main():
             return optax.apply_updates(params, updates), new_stats, \
                 opt_state, loss
 
+        # NOT donated: timeit re-feeds the same buffers, so residency is
+        # ~2x bench.py's donated step — size batches accordingly
         jstep = jax.jit(step)
         try:
-            ms = timeit(f"{arch}-{BACKBONE} train B{B} {H}²", jstep,
+            ms = timeit(f"{arch}-{backbone} train B{batch} {size}²", jstep,
                         variables["params"], variables["batch_stats"],
                         opt_state, x, y, n=3)
-            print(f"  -> {B / (ms / 1000):.1f} img/s/chip", flush=True)
+            print(f"  -> {batch / (ms / 1000):.1f} img/s/chip", flush=True)
         except Exception as e:  # keep going (e.g. HBM OOM at this B)
-            print(f"{arch}-{BACKBONE}: FAILED "
+            print(f"{arch}-{backbone}: FAILED "
                   f"({type(e).__name__}: {str(e)[:120]})", flush=True)
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    backbone = sys.argv[3] if len(sys.argv) > 3 else "resnet34"
+    archs = sys.argv[4:] or ARCHS
+    bench_archs(archs, backbone, batch, size)
 
 
 if __name__ == "__main__":
