@@ -45,6 +45,8 @@ class FPNDecoder(nn.Module):
         y = outs[0] + outs[1] + outs[2] + outs[3]
         y = ConvBN(self.segmentation_channels, dtype=self.dtype,
                    name="merge_conv")(y, train)
-        # stride 4 → full resolution
-        y = resize_to(y, p2.shape[1] * 4, p2.shape[2] * 4, method="bilinear")
+        # stride 4: the model head resizes LOGITS ×4 (1x1 conv and
+        # bilinear resize commute; upsampling 128 channels first costs
+        # 128/classes× the resize memory — and the reference's own FPN
+        # applies its classes conv before UpSampling too)
         return y
