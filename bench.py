@@ -104,10 +104,13 @@ def main():
         # sharded), so per-chip throughput divides by 1 regardless of how
         # many chips the host exposes (ADVICE r2)
         ips = ib * STEPS / dt
+        # renamed from ..._per_chip_... when the divisor became 1 (ADVICE
+        # r2): the program runs on ONE device, so the old name would show
+        # a phantom n_chips-fold jump on multi-chip hosts (review r3)
         print(json.dumps({
-            "metric": "predict_fliptta_images_per_sec_per_chip_unet_resnet34_512",
+            "metric": "predict_fliptta_images_per_sec_unet_resnet34_512",
             "value": round(ips, 2),
-            "unit": "images/sec/chip",
+            "unit": "images/sec (single device)",
             "vs_baseline": round(ips / 75.0, 3),
         }))
         return

@@ -1015,10 +1015,14 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
                               radius=radius)
     elif name == "medianblur":
         a = args if not isinstance(args, dict) else args.get("k", 3)
-        if not isinstance(a, (int, float)):
+        if a is None:
+            a = 3  # bare `MedianBlur: ~` → cv2's default window
+        if not isinstance(a, (int, float)) or int(a) != a or \
+                (int(a) > 1 and int(a) % 2 == 0):
             raise ValueError(
-                "MedianBlur k must be a static odd scalar here (per-image "
-                "sampled widths would need data-dependent sort extents); "
+                "MedianBlur k must be a static ODD integer here (even "
+                "windows are off-center; per-image sampled widths would "
+                "need data-dependent sort extents); "
                 f"got {a!r} — see docs/schema.md deviations")
         imgs = ph.median_blur(imgs, ksize=int(a))
     elif name in ("histogramequalization",
@@ -1087,15 +1091,22 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
     elif name in ("resize", "scale"):
         a = args if not isinstance(args, dict) else \
             args.get("size", args.get("percent", 1.0))
-        if not isinstance(a, (int, float)):
+        if not isinstance(a, (int, float)) or isinstance(a, bool):
             raise ValueError(
-                "Resize/Scale takes a static scalar factor here (XLA "
-                "shapes are static; stochastic sizes can't lower) — use "
-                "Affine {scale: ...} for zoom jitter; see docs/schema.md")
-        f = float(a)
-        if f != 1.0:
-            bsz, h, w, c = imgs.shape
+                "Resize/Scale takes a static scalar here (XLA shapes are "
+                "static; stochastic sizes can't lower) — use Affine "
+                "{scale: ...} for zoom jitter; see docs/schema.md")
+        bsz, h, w, c = imgs.shape
+        if isinstance(a, int) and a >= 2:
+            # imgaug int semantics: ABSOLUTE pixels.  The static output
+            # shape can't change, so this lowers to resize-to-(a,a)
+            # then back (resolution change only); a float is a factor
+            f = None
+            nh = nw = int(a)
+        else:
+            f = float(a)
             nh, nw = max(1, int(round(h * f))), max(1, int(round(w * f)))
+        if f != 1.0:
             # down (or up) then back to the static shape: content keeps
             # its position; f<1 is the classic resolution-degradation aug
             imgs = jax.image.resize(imgs, (bsz, nh, nw, c), "bilinear")

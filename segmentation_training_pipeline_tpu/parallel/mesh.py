@@ -78,14 +78,26 @@ def build_mesh(spec: Optional[MeshSpec] = None, devices=None) -> Mesh:
 
         try:
             if hosts != jax.process_count():
-                raise ValueError("hosts != process_count")
+                raise ValueError(
+                    f"mesh hosts={hosts} != process_count="
+                    f"{jax.process_count()}")
             arr = mesh_utils.create_hybrid_device_mesh(
                 mesh_shape=(data // hosts, space),
                 dcn_mesh_shape=(hosts, 1),
                 devices=devices,
                 process_is_granule=True,
             )
-        except ValueError:
+        except ValueError as e:
+            # fall back, but LOUDLY — a silently ignored hosts factor (or
+            # a masked topology error) changes cross-DCN collective
+            # placement with no visible signal
+            import warnings
+
+            warnings.warn(
+                f"hybrid DCN mesh unavailable ({e}); using a "
+                "process-ordered reshape — hosts blocking stays outermost "
+                "on `data`, but ICI/DCN collective placement is XLA's "
+                "default")
             ordered = sorted(
                 devices, key=lambda d: (d.process_index, getattr(d, "id", 0)))
             arr = np.asarray(ordered).reshape(data, space)

@@ -255,6 +255,10 @@ class TensorBoard(Callback):
         self._writer = None
 
     def on_train_begin(self, control):
+        from ..parallel import distributed as dist
+
+        if not dist.is_primary():
+            return  # multi-host: one event writer per shared FS
         from ..utils.tfevents import EventFileWriter
 
         self._writer = EventFileWriter(self.log_dir)

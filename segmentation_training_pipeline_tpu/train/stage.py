@@ -227,6 +227,14 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                     raise ValueError(
                         f"stage {si} batch {batch} is not divisible by the "
                         f"configured mesh data axis ({n_data})")
+                if jax.process_count() > 1:
+                    # same rule as _gcd_mesh: a narrower mesh would leave
+                    # other processes' devices out of the collectives and
+                    # deadlock the fleet — hard error, not a quiet rebuild
+                    raise ValueError(
+                        f"multi-host run: stage {si} batch {batch} must be "
+                        f"divisible by the global device count "
+                        f"{len(jax.devices())} (or set mesh: in YAML)")
                 nd = math.gcd(batch, len(jax.devices()))
                 stage_mesh = build_mesh(MeshSpec(data=nd, space=1),
                                         devices=jax.devices()[:nd])

@@ -86,10 +86,18 @@ def _scalar_summary(tag: str, value: float) -> bytes:
 class EventFileWriter:
     """Append-only scalar event file, one per training run."""
 
+    _seq = 0  # per-process uniquifier (several writers per second)
+
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
-        name = "events.out.tfevents.%010d.%s" % (
-            int(time.time()), socket.gethostname())
+        # pid + sequence suffix: same-second writers (two stages, or two
+        # processes on one host) must NOT share a file — interleaved
+        # appends splice bytes mid-record and corrupt the TFRecord
+        # stream (TF's own writer appends pid+uid for the same reason)
+        EventFileWriter._seq += 1
+        name = "events.out.tfevents.%010d.%s.%d.%d" % (
+            int(time.time()), socket.gethostname(), os.getpid(),
+            EventFileWriter._seq)
         self.path = os.path.join(log_dir, name)
         self._f = open(self.path, "ab")
         self._write(_event(time.time(), file_version="brain.Event:2"))

@@ -494,7 +494,7 @@ class TestBatch3Augmenters:
         np.testing.assert_array_equal(om, _masks(2, 12, 12))
 
     def test_medianblur_rejects_range(self):
-        with pytest.raises(ValueError, match="static odd scalar"):
+        with pytest.raises(ValueError, match="static ODD integer"):
             _run([("MedianBlur", [3, 5])], _imgs(), _masks())
 
     def test_histogram_equalization_matches_cv2(self):
@@ -749,3 +749,24 @@ def test_rotate_dict_kwarg_form():
     a, _ = _run([("Rotate", {"rotate": [10, 10]})], imgs, masks, seed=5)
     b, _ = _run([("Affine", {"rotate": [10, 10]})], imgs, masks, seed=5)
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+class TestReviewFixesR3b:
+    def test_resize_int_is_absolute_pixels(self):
+        # imgaug semantics: `Resize: 8` on 16² == resize to 8px == factor 0.5
+        imgs, masks = _imgs(2, 16, 16), _masks(2, 16, 16)
+        a, am = _run([("Resize", 8)], imgs, masks)
+        b, bm = _run([("Resize", 0.5)], imgs, masks)
+        np.testing.assert_allclose(a, b, atol=1e-4)
+        np.testing.assert_array_equal(am, bm)
+
+    def test_medianblur_even_k_rejected(self):
+        with pytest.raises(ValueError, match="ODD"):
+            _run([("MedianBlur", 4)], _imgs(), _masks())
+
+    def test_medianblur_bare_defaults_to_3(self):
+        a, _ = _run([("MedianBlur", None)], _imgs(2, 12, 12),
+                    _masks(2, 12, 12))
+        b, _ = _run([("MedianBlur", 3)], _imgs(2, 12, 12),
+                    _masks(2, 12, 12))
+        np.testing.assert_allclose(a, b, atol=1e-4)

@@ -94,3 +94,20 @@ def test_real_tensorboard_loader_parses_our_file(tmp_path):
     assert events[1].step == 3
     assert events[1].summary.value[0].tag == "loss"
     assert abs(events[1].summary.value[0].simple_value - 0.125) < 1e-9
+
+
+def test_same_second_writers_get_distinct_files(tmp_path):
+    """r3 review: two writers in the same wall-clock second (two stages,
+    or two processes on a host) must not append to one file — interleaved
+    TFRecord appends corrupt the stream."""
+    from segmentation_training_pipeline_tpu.utils.tfevents import (
+        EventFileWriter)
+
+    w1 = EventFileWriter(str(tmp_path))
+    w2 = EventFileWriter(str(tmp_path))
+    assert w1.path != w2.path
+    w1.add_scalars(1, {"a": 1.0})
+    w2.add_scalars(1, {"a": 2.0})
+    w1.close()
+    w2.close()
+    assert len(list(tmp_path.iterdir())) == 2
