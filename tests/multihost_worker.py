@@ -19,9 +19,11 @@ import os
 import sys
 
 
-def make_config(hosts: int = 2):
-    """The shared experiment config (worker AND single-process reference)."""
-    return dict(
+def make_config(hosts: int = 2, workdir: str = None):
+    """The shared experiment config (worker AND single-process reference).
+    ``workdir`` adds a TensorBoard callback (absolute log_dir) so the
+    worker can assert the event-writer primary-only contract."""
+    cfg = dict(
         architecture="Unet", backbone="resnet18", shape=[32, 32, 3],
         classes=1, activation="sigmoid", loss="binary_crossentropy",
         optimizer="SGD", lr=1e-2, batch=8, folds_count=2, dtype="float32",
@@ -29,6 +31,10 @@ def make_config(hosts: int = 2):
         mesh={"hosts": hosts, "data": 8, "space": 1},
         stages=[{"epochs": 2}],
     )
+    if workdir:
+        cfg["callbacks"] = {
+            "TensorBoard": {"log_dir": os.path.join(workdir, "logs")}}
+    return cfg
 
 
 def make_dataset():
@@ -85,7 +91,17 @@ def main():
 
         stage_mod.cb.CSVLogger = _ForbiddenCSV
 
-    cfg = stp.parse_dict(make_config(hosts=nproc), directory=workdir)
+        from segmentation_training_pipeline_tpu.utils import tfevents
+
+        class _ForbiddenWriter:
+            def __init__(self, *a, **k):
+                raise AssertionError(
+                    "non-primary process opened a tfevents writer")
+
+        tfevents.EventFileWriter = _ForbiddenWriter
+
+    cfg = stp.parse_dict(make_config(hosts=nproc, workdir=workdir),
+                     directory=workdir)
     ds = make_dataset()
     res = cfg.fit(ds, foldsToExecute=[0], verbose=0)
 

@@ -139,6 +139,9 @@ def test_two_process_distributed_fit(tmp_path):
     assert (mp_dir / "weights" / "best-0.0.weights").exists()
     assert (mp_dir / "weights" / "best-0.0.weights.json").exists()
     assert (mp_dir / "metrics" / "metrics-0.0.csv").exists()
+    # TensorBoard: exactly ONE event file (primary-only writer; r3 review)
+    events = list((mp_dir / "logs").iterdir())
+    assert len(events) == 1, events
 
     summaries = [json.loads((mp_dir / f"summary-{pid}.json").read_text())
                  for pid in (0, 1)]
