@@ -162,7 +162,7 @@ class TestSecondReviewBatch:
         with pytest.raises(ConfigError, match="testTimeAugmentation"):
             parse_dict(dict(architecture="Unet", backbone="resnet18",
                             shape=[32, 32, 3],
-                            testTimeAugmentation="d4"))
+                            testTimeAugmentation="d16"))
 
     def test_mask_dir_stem_mismatch_rejected(self, tmp_path):
         import cv2
