@@ -83,6 +83,10 @@ def main(argv=None) -> int:
 
     def _dataset(a):
         if getattr(a, "rle_csv", None):
+            if a.masks:
+                raise SystemExit(
+                    "--masks and --rle-csv are mutually exclusive label "
+                    "sources — pass one")
             return CSVRLEDataSet(a.images, a.rle_csv)
         if not a.masks:
             raise SystemExit("need --masks or --rle-csv")

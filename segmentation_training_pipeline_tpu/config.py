@@ -135,7 +135,7 @@ _TTA_VALUES = {"flip", "hflip", "flips", "d4_subset", "hvflip", "d4",
                "full"}
 
 
-def _check_tta(v):
+def _check_tta(v, shape=None):
     """Unknown TTA names would otherwise silently run zero TTA passes."""
     if v is None or v is False:
         return None
@@ -146,6 +146,12 @@ def _check_tta(v):
         raise ConfigError(
             f"testTimeAugmentation must be one of {sorted(_TTA_VALUES)}, "
             f"got {v!r}")
+    if s in ("d4", "full") and shape is not None and shape[0] != shape[1]:
+        # catch at parse time — discovering this at the first predict
+        # after a multi-hour fit is the wrong moment
+        raise ConfigError(
+            f"testTimeAugmentation: d4 needs a square shape (rot90 "
+            f"members change H/W), got {tuple(shape[:2])} — use 'flips'")
     return s
 
 
@@ -452,7 +458,8 @@ class PipelineConfig:
             preprocessing=d.get("preprocessing"),
             crops=crops,
             flipPred=bool(d.get("flipPred", False)),
-            testTimeAugmentation=_check_tta(d.get("testTimeAugmentation")),
+            testTimeAugmentation=_check_tta(d.get("testTimeAugmentation"),
+                                            shape=shape),
             threshold=float(d.get("threshold", 0.5)),
             stages=stages,
             callbacks=_normalize_callbacks(d.get("callbacks")),

@@ -280,13 +280,19 @@ class CSVRLEDataSet(DataSet):
                     f"{csv_path}: cannot find id/rle columns in {cols} — "
                     "pass id_column=/rle_column=")
             rles: Dict[str, List[str]] = {}
+            stem_src: Dict[str, str] = {}  # stem → raw id that produced it
             for row in reader:
-                rid = str(row[idc])
+                raw = str(row[idc])
                 # strip only a KNOWN image extension: bare ids may contain
                 # dots ('scan.v2_001'), and a blind splitext would mangle
                 # them (or collide two ids into one stem)
-                if rid.lower().endswith(_IMG_EXTS):
-                    rid = os.path.splitext(rid)[0]
+                rid = (os.path.splitext(raw)[0]
+                       if raw.lower().endswith(_IMG_EXTS) else raw)
+                if stem_src.setdefault(rid, raw) != raw:
+                    raise ValueError(
+                        f"{csv_path}: ids {stem_src[rid]!r} and {raw!r} "
+                        f"both resolve to image stem {rid!r} — their "
+                        "instance masks would silently union")
                 rles.setdefault(rid, []).append(row[rlec] or "")
 
         missing = sorted(set(rles) - set(by_stem))

@@ -1017,12 +1017,14 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         a = args if not isinstance(args, dict) else args.get("k", 3)
         if a is None:
             a = 3  # bare `MedianBlur: ~` → cv2's default window
-        if not isinstance(a, (int, float)) or int(a) != a or \
-                (int(a) > 1 and int(a) % 2 == 0):
+        ok = (isinstance(a, (int, float)) and not isinstance(a, bool)
+              and math.isfinite(float(a)) and float(a) == int(a)
+              and int(a) >= 1 and int(a) % 2 == 1)
+        if not ok:
             raise ValueError(
-                "MedianBlur k must be a static ODD integer here (even "
-                "windows are off-center; per-image sampled widths would "
-                "need data-dependent sort extents); "
+                "MedianBlur k must be a static ODD integer >= 1 here "
+                "(even windows are off-center; per-image sampled widths "
+                "would need data-dependent sort extents); "
                 f"got {a!r} — see docs/schema.md deviations")
         imgs = ph.median_blur(imgs, ksize=int(a))
     elif name in ("histogramequalization",
@@ -1097,14 +1099,19 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
                 "static; stochastic sizes can't lower) — use Affine "
                 "{scale: ...} for zoom jitter; see docs/schema.md")
         bsz, h, w, c = imgs.shape
-        if isinstance(a, int) and a >= 2:
+        if isinstance(a, int):
             # imgaug int semantics: ABSOLUTE pixels.  The static output
             # shape can't change, so this lowers to resize-to-(a,a)
             # then back (resolution change only); a float is a factor
+            if a < 1:
+                raise ValueError(
+                    f"Resize/Scale int means absolute pixels; got {a}")
             f = None
             nh = nw = int(a)
         else:
             f = float(a)
+            if f <= 0.0:
+                raise ValueError(f"Resize/Scale factor must be > 0, got {f}")
             nh, nw = max(1, int(round(h * f))), max(1, int(round(w * f)))
         if f != 1.0:
             # down (or up) then back to the static shape: content keeps

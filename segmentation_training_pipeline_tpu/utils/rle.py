@@ -24,12 +24,22 @@ def rle_encode(mask: np.ndarray) -> str:
 
 
 def rle_decode(rle: Optional[str], shape) -> np.ndarray:
-    """'start len ...' → binary mask (H, W) uint8, column-major 1-indexed."""
+    """'start len ...' → binary mask (H, W) uint8, column-major 1-indexed.
+
+    Runs beyond H·W raise: silently clipping them (the easy bug) means an
+    RLE encoded at a different resolution trains on corrupted labels with
+    no signal."""
     h, w = shape[:2]
     out = np.zeros(h * w, dtype=np.uint8)
     if rle and str(rle).strip() and str(rle).strip().lower() != "nan":
         nums = np.asarray(str(rle).split(), dtype=np.int64)
         starts, lengths = nums[0::2] - 1, nums[1::2]
+        if len(starts) and (starts.min() < 0
+                            or int((starts + lengths).max()) > h * w):
+            raise ValueError(
+                f"RLE run extends past the {h}x{w} mask "
+                f"(max end {int((starts + lengths).max())} > {h * w}) — "
+                "was the RLE encoded at a different resolution?")
         for s, l in zip(starts, lengths):
             out[s : s + l] = 1
     return out.reshape((h, w), order="F")

@@ -770,3 +770,16 @@ class TestReviewFixesR3b:
         b, _ = _run([("MedianBlur", 3)], _imgs(2, 12, 12),
                     _masks(2, 12, 12))
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+@pytest.mark.parametrize("bad", [0, -5, True, 2.5])
+def test_medianblur_invalid_k_rejected(bad):
+    with pytest.raises(ValueError, match="ODD integer"):
+        _run([("MedianBlur", bad)], _imgs(), _masks())
+
+
+def test_resize_nonpositive_rejected():
+    with pytest.raises(ValueError, match="> 0|absolute"):
+        _run([("Resize", 0.0)], _imgs(), _masks())
+    with pytest.raises(ValueError, match="absolute"):
+        _run([("Resize", 0)], _imgs(), _masks())

@@ -178,3 +178,15 @@ def test_backbone_aliases_canonicalize():
     for alias in ("xception65", "xception_deeplab", "xception_aligned"):
         cfg = parse_dict({"architecture": "DeepLabV3", "backbone": alias})
         assert cfg.backbone == "xception_aligned"
+
+
+def test_d4_tta_nonsquare_rejected_at_parse():
+    from segmentation_training_pipeline_tpu.config import (ConfigError,
+                                                           parse_dict)
+
+    with pytest.raises(ConfigError, match="square"):
+        parse_dict({"shape": [256, 512, 3], "testTimeAugmentation": "d4"})
+    # square parses fine
+    assert parse_dict({"shape": [256, 256, 3],
+                       "testTimeAugmentation": "d4"}
+                      ).testTimeAugmentation == "d4"

@@ -133,3 +133,24 @@ def test_csvrle_negativity_without_decode(tmp_path):
         CSVRLEDataSet.__getitem__ = orig
     assert decodes == []               # zero image decodes
     assert flags.sum() == 3
+
+
+def test_rle_decode_rejects_out_of_range_runs():
+    """r3 review: runs past H*W mean the RLE was encoded at a different
+    resolution — silent clipping trains on corrupted labels."""
+    with pytest.raises(ValueError, match="different resolution"):
+        rle_decode("60 10", (8, 6))  # ends at 69 > 48
+
+
+def test_csvrle_id_collision_rejected(tmp_path):
+    import cv2
+    from segmentation_training_pipeline_tpu.data.datasets import (
+        CSVRLEDataSet)
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    cv2.imwrite(str(imgs / "im0.png"), np.zeros((8, 6, 3), np.uint8))
+    (tmp_path / "t.csv").write_text(
+        "ImageId,EncodedPixels\nim0,1 2\nim0.png,4 2\n")
+    with pytest.raises(ValueError, match="silently union"):
+        CSVRLEDataSet(str(imgs), str(tmp_path / "t.csv"))
