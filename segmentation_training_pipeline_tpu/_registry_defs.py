@@ -33,7 +33,7 @@ for name, aliases in [
 # (round-1 regression: 6 implemented encoders were unreachable from YAML).
 for name in [
     "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
-    "seresnet18", "seresnet34", "seresnet50",
+    "seresnet18", "seresnet34", "seresnet50", "seresnet101", "seresnet152",
     "resnext50", "resnext101", "seresnext50", "seresnext101",
     "vgg16", "vgg19",
     "mobilenetv2",

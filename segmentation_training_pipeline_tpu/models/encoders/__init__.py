@@ -36,6 +36,10 @@ _SPECS: Dict[str, Tuple[Type, Dict[str, Any]]] = {
     # placement must live in the spec, not the converter.
     "seresnet50": (SEResNetEncoder, dict(stage_sizes=(3, 4, 6, 3), bottleneck=True,
                                          stride_on_conv1=True)),
+    "seresnet101": (SEResNetEncoder, dict(stage_sizes=(3, 4, 23, 3), bottleneck=True,
+                                          stride_on_conv1=True)),
+    "seresnet152": (SEResNetEncoder, dict(stage_sizes=(3, 8, 36, 3), bottleneck=True,
+                                          stride_on_conv1=True)),
     # ResNeXt 32x4d (Xie et al. 2017): cardinality-32 grouped 3x3, 2x inner width
     "resnext50": (ResNetEncoder, dict(stage_sizes=(3, 4, 6, 3), bottleneck=True,
                                       groups=32, width_factor=2)),
