@@ -34,7 +34,7 @@ for name, aliases in [
 for name in [
     "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
     "seresnet18", "seresnet34", "seresnet50", "seresnet101", "seresnet152",
-    "resnext50", "resnext101", "seresnext50", "seresnext101",
+    "resnext50", "resnext101", "seresnext50", "seresnext101", "senet154",
     "vgg16", "vgg19",
     "mobilenetv2",
     "efficientnetb0", "efficientnetb1", "efficientnetb2", "efficientnetb3",

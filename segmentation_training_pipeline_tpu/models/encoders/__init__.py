@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Tuple, Type
 
-from .resnet import ResNetEncoder, SEResNetEncoder
+from .resnet import ResNetEncoder, SENet154Encoder, SEResNetEncoder
 from .vgg import VGGEncoder
 from .mobilenetv2 import MobileNetV2Encoder
 from .efficientnet import EfficientNetEncoder
@@ -49,6 +49,9 @@ _SPECS: Dict[str, Tuple[Type, Dict[str, Any]]] = {
                                           groups=32, width_factor=2)),
     "seresnext101": (SEResNetEncoder, dict(stage_sizes=(3, 4, 23, 3), bottleneck=True,
                                            groups=32, width_factor=2)),
+    # Cadene senet154: its own block (2p/4p widths, cardinality 64, deep
+    # stem, kernel-3 downsamples) — NOT expressible as an SEResNet spec
+    "senet154": (SENet154Encoder, {}),
     "vgg16": (VGGEncoder, dict(stage_convs=(2, 2, 3, 3, 3))),
     "vgg19": (VGGEncoder, dict(stage_convs=(2, 2, 4, 4, 4))),
     "mobilenetv2": (MobileNetV2Encoder, {}),

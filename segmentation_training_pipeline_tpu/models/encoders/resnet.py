@@ -192,3 +192,76 @@ class PreactResNetEncoder(nn.Module):
         y = nn.relu(norm("bn1")(y))
         feats.append(y)                       # C5, stride 32
         return feats
+
+
+class SENet154Bottleneck(nn.Module):
+    """Cadene ``SEBottleneck`` (the senet154 block — pretrainedmodels
+    ``senet.py``): 1x1 → 2p, grouped-64 3x3 (stride) → 4p, 1x1 4p → 4p,
+    SE(r=16), with a KERNEL-3 downsample conv on the strided stages
+    (Cadene ``downsample_kernel_size=3``; stage 1 keeps kernel 1)."""
+
+    features: int                 # p; block output is 4p
+    strides: Tuple[int, int]
+    dtype: Dtype
+    groups: int = 64
+    down_kernel: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+        residual = x
+        y = nn.Conv(self.features * 2, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(norm("bn1")(y))
+        y = nn.Conv(self.features * 4, (3, 3), self.strides, padding="SAME",
+                    feature_group_count=self.groups, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = nn.relu(norm("bn2")(y))
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
+        y = norm("bn3")(y)
+        y = SEBlock(max(self.features * 4 // 16, 1), dtype=self.dtype,
+                    act_fn="relu", name="se")(y)
+        if residual.shape != y.shape:
+            k = self.down_kernel
+            residual = nn.Conv(self.features * 4, (k, k), self.strides,
+                               padding="SAME", use_bias=False,
+                               dtype=self.dtype, name="downsample")(residual)
+            residual = norm("bn_down")(residual)
+        return nn.relu(y + residual)
+
+
+class SENet154Encoder(nn.Module):
+    """Cadene senet154: deep 3-conv stem (64-64-128) + SEBottleneck stages
+    (3, 8, 36, 3) at cardinality 64.  Taps: C1 128ch (post-stem, stride
+    2), C2..C5 256/512/1024/2048 at strides 4/8/16/32."""
+
+    stage_sizes: Sequence[int] = (3, 8, 36, 3)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+        feats = []
+        y = x.astype(self.dtype)
+        for i, (width, stride) in enumerate([(64, 2), (64, 1), (128, 1)]):
+            y = nn.Conv(width, (3, 3), (stride, stride), padding="SAME",
+                        use_bias=False, dtype=self.dtype,
+                        name=f"stem_conv{i + 1}")(y)
+            y = nn.relu(norm(f"stem_bn{i + 1}")(y))
+        feats.append(y)                          # C1 stride 2, 128ch
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
+        for stage, n_blocks in enumerate(self.stage_sizes):
+            features = 64 * (2 ** stage)
+            for b in range(n_blocks):
+                strides = (2, 2) if (b == 0 and stage > 0) else (1, 1)
+                y = SENet154Bottleneck(
+                    features, strides, self.dtype,
+                    down_kernel=1 if stage == 0 else 3,
+                    name=f"stage{stage + 1}_block{b + 1}")(y, train)
+            feats.append(y)                      # C2..C5
+        return feats

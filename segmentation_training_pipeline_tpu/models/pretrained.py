@@ -110,9 +110,18 @@ def convert_torch_resnet(state: Dict[str, Any],
             b = np.asarray(state[f"{prefix}.{src}.bias"])
             se_p[dst]["bias"] = b.astype(se_p[dst]["bias"].dtype)
 
-    # stem
-    put_conv(params["stem_conv"], "conv1.weight")
-    put_bn(params["stem_bn"], stats["stem_bn"], "bn1")
+    # stem: classic 7x7 single conv, or senet154's deep 3-conv stem
+    if "stem_conv3" in params:
+        if "conv3.weight" not in state:
+            raise PretrainedWeightsError(
+                "encoder has senet154's deep 3-conv stem but the state "
+                "dict has a single-conv stem (wrong backbone?)")
+        for i in (1, 2, 3):
+            put_conv(params[f"stem_conv{i}"], f"conv{i}.weight")
+            put_bn(params[f"stem_bn{i}"], stats[f"stem_bn{i}"], f"bn{i}")
+    else:
+        put_conv(params["stem_conv"], "conv1.weight")
+        put_bn(params["stem_bn"], stats["stem_bn"], "bn1")
 
     # stages
     for stage in range(1, 5):
@@ -707,7 +716,8 @@ def torch_converter_for(backbone: str):
     """The torch-format converter covering ``backbone``.  Every name in
     ``encoders.known_backbones()`` resolves (tested in
     tests/test_pretrained.py) — closing VERDICT r2 missing item 2."""
-    if backbone.startswith(("resnet", "seresnet", "resnext", "seresnext")):
+    if backbone.startswith(("resnet", "seresnet", "resnext", "seresnext",
+                        "senet")):
         return convert_torch_resnet
     if backbone.startswith("efficientnet"):
         return convert_torch_efficientnet

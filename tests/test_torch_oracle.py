@@ -140,3 +140,37 @@ def test_se_weights_into_plain_encoder_raises():
         _flax_taps("resnet18",
                    _state_np(oracle),
                    np.zeros((1, 65, 65, 3), np.float32))
+
+
+def test_senet154_matches_torch():
+    """senet154 golden: deep stem, 2p/4p SEBottleneck widths, cardinality
+    64, kernel-3 downsamples — all through convert_torch_resnet's Cadene
+    path.  Shrunk stages (1,1,1,1) keep the CPU cost low; widths and all
+    block wiring stay the real ones."""
+    from torch_oracles import TorchSENet154
+
+    oracle = TorchSENet154(stage_sizes=(1, 1, 1, 1)).eval()
+    randomize_(oracle, seed=17)
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(1, 65, 65, 3).astype(np.float32)
+    with torch.no_grad():
+        want = [t.numpy() for t in
+                oracle(torch.from_numpy(x.transpose(0, 3, 1, 2)))]
+
+    enc = build_encoder("senet154", stage_sizes=(1, 1, 1, 1),
+                        dtype=jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    new_p, new_s = convert_torch_resnet(
+        {k: v.numpy() for k, v in oracle.state_dict().items()},
+        variables["params"], variables["batch_stats"])
+    got = enc.apply({"params": new_p, "batch_stats": new_s},
+                    jnp.asarray(x), train=False)
+
+    assert len(got) == len(want) == 5
+    for i, (g, w) in enumerate(zip(got, want)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        assert g.shape == w.shape, f"tap C{i+1}: {g.shape} vs {w.shape}"
+        np.testing.assert_allclose(
+            g, w, rtol=1e-3, atol=5e-3,
+            err_msg=f"senet154 tap C{i+1} diverged from the torch oracle")

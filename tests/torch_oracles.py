@@ -777,3 +777,85 @@ class TorchAlignedDeepLab(nn.Module):
         y = D["decoder_conv1"](D["decoder_conv0"](torch.cat([y, low], 1)))
         y = self.logits_semantic(y)
         return up(y, (skip.shape[2] * 4, skip.shape[3] * 4))
+
+
+# ---------------------------------------------------------------------------
+# Cadene senet154 (pretrainedmodels senet.py::SENet + SEBottleneck) — the
+# remaining member of the reference zoo's "senet" family.  State-dict
+# naming: layer0.conv{1..3}/bn{1..3} deep stem, layer{1..4}.{i} blocks with
+# se_module.fc{1,2} and kernel-3 downsamples on strided stages.
+# ---------------------------------------------------------------------------
+
+class SEBottleneck154(nn.Module):
+    def __init__(self, inplanes, planes, stride=1, down_kernel=0,
+                 groups=64):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes * 2, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes * 2)
+        self.conv2 = nn.Conv2d(planes * 2, planes * 4, 3, stride, 1,
+                               groups=groups, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes * 4)
+        self.conv3 = nn.Conv2d(planes * 4, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.se_module = SEModule(planes * 4)
+        self.downsample = None
+        if down_kernel:
+            pad = (down_kernel - 1) // 2
+            self.downsample = nn.Sequential(
+                nn.Conv2d(inplanes, planes * 4, down_kernel, stride, pad,
+                          bias=False),
+                nn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        identity = self.downsample(x) if self.downsample is not None else x
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = torch.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return torch.relu(self.se_module(y) + identity)
+
+
+class _SENetLayer0(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 3, 2, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.conv2 = nn.Conv2d(64, 64, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(64)
+        self.conv3 = nn.Conv2d(64, 128, 3, 1, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(128)
+
+    def forward(self, x):
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = torch.relu(self.bn2(self.conv2(y)))
+        return torch.relu(self.bn3(self.conv3(y)))
+
+
+class TorchSENet154(nn.Module):
+    """[C1..C5] taps; stage_sizes shrinkable for test cost."""
+
+    def __init__(self, stage_sizes=(3, 8, 36, 3)):
+        super().__init__()
+        self.layer0 = _SENetLayer0()
+        inplanes = 128
+        for s, n in enumerate(stage_sizes):
+            planes = 64 * (2 ** s)
+            blocks = []
+            for b in range(n):
+                stride = 2 if (b == 0 and s > 0) else 1
+                down = 0
+                if b == 0:
+                    down = 1 if s == 0 else 3
+                blocks.append(SEBottleneck154(inplanes, planes, stride,
+                                              down_kernel=down))
+                inplanes = planes * 4
+            setattr(self, f"layer{s + 1}", nn.Sequential(*blocks))
+        self.stage_count = len(stage_sizes)
+
+    def forward(self, x):
+        y = self.layer0(x)
+        feats = [y]
+        y = torch.nn.functional.max_pool2d(y, 3, 2, 1)
+        for s in range(self.stage_count):
+            y = getattr(self, f"layer{s + 1}")(y)
+            feats.append(y)
+        return feats
