@@ -43,7 +43,6 @@ class InferenceBundle:
             raise ValueError(
                 "testTimeAugmentation: d4 needs a square shape (rot90 "
                 f"members change H/W), got {cfg.shape[:2]} — use 'flips'")
-        self.model = model_from_config(cfg)
         self.stage = stage if stage >= 0 else len(cfg.stages) - 1
         self.folds = list(folds)
         # cheap existence check BEFORE the (expensive) model init
@@ -52,6 +51,14 @@ class InferenceBundle:
             if not os.path.exists(path):
                 raise FileNotFoundError(
                     f"no checkpoint for fold {f} stage {self.stage}: {path}")
+        # the sidecar records the graph the weights were trained with;
+        # prefer it over re-deriving from weight-file resolution (the .h5
+        # may have moved since fit — VERDICT r3 item 3)
+        from .models.factory import variant_from_checkpoint
+
+        variant = variant_from_checkpoint(
+            cfg, [cfg.weights_path(f, self.stage) for f in self.folds])
+        self.model = model_from_config(cfg, variant)
         template = template_variables(self.model, cfg.shape)
         self.fold_vars = [
             load_checkpoint(cfg.weights_path(f, self.stage), template)

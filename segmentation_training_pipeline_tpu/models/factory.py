@@ -159,7 +159,12 @@ def _variant_for_config(cfg) -> str:
     return ""
 
 
-def model_from_config(cfg) -> SegmentationModel:
+def model_from_config(cfg, encoder_variant: str = None) -> SegmentationModel:
+    """``encoder_variant=None`` derives the variant from the config's
+    weight-file resolution; pass a string (possibly "") to pin it — the
+    checkpoint sidecar's recorded variant takes precedence at load time
+    (see ``variant_from_checkpoint``), so moving/deleting the original
+    ``.h5`` between fit and load cannot change the architecture."""
     return create_model(
         architecture=cfg.architecture,
         backbone=cfg.backbone,
@@ -167,8 +172,27 @@ def model_from_config(cfg) -> SegmentationModel:
         dropout=cfg.dropout,
         dtype=cfg.dtype,
         remat=cfg.remat,
-        encoder_variant=_variant_for_config(cfg),
+        encoder_variant=(_variant_for_config(cfg) if encoder_variant is None
+                         else encoder_variant),
     )
+
+
+def variant_from_checkpoint(cfg, ckpt_paths) -> str:
+    """Resolve the encoder variant for restoring ``cfg`` from checkpoints.
+
+    The first sidecar (in order) that records ``encoder_variant`` wins —
+    the graph the weights were actually trained with.  Checkpoints
+    predating the sidecar field fall back to config-time derivation
+    (the pre-fix behavior)."""
+    from ..train.checkpoint import checkpoint_meta
+
+    if isinstance(ckpt_paths, str):
+        ckpt_paths = [ckpt_paths]
+    for p in ckpt_paths:
+        meta = checkpoint_meta(p)
+        if meta is not None and "encoder_variant" in meta:
+            return str(meta["encoder_variant"])
+    return _variant_for_config(cfg)
 
 
 def init_model(model: SegmentationModel, shape, seed: int = 0):

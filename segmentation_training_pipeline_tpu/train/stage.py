@@ -152,7 +152,14 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                   verbose: Optional[int] = None) -> Dict[str, Dict]:
     verbose = cfg.verbose if verbose is None else verbose
     mesh = _gcd_mesh(cfg)
-    model = model_from_config(cfg)
+    # resume must rebuild the SAME graph the checkpoints were trained
+    # with, even if the original encoder_weights .h5 has since moved —
+    # prefer any existing sidecar's recorded variant (VERDICT r3 item 3)
+    from ..models.factory import variant_from_checkpoint
+
+    existing = [cfg.weights_path(f, s) for f in range(cfg.folds_count)
+                for s in range(len(cfg.stages))]
+    model = model_from_config(cfg, variant_from_checkpoint(cfg, existing))
     metric_fns = _metric_fns(cfg)
     aug_fn, transform_fn = _build_aug_fn(cfg)
     kfold = (dataset if isinstance(dataset, KFoldedDataSet)
@@ -364,6 +371,8 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                                               "epoch": epoch,
                                               "architecture": cfg.architecture,
                                               "backbone": cfg.backbone,
+                                              "encoder_variant":
+                                                  model.encoder_variant,
                                               "done": False})
                 for c in cbs:
                     c.on_epoch_end(epoch, epoch_logs, control)
@@ -400,6 +409,10 @@ def _fit_pipeline(cfg: PipelineConfig, dataset,
                     save_checkpoint(ckpt_path, variables,
                                     meta={"fold": fold, "stage": si,
                                           "monitor": monitor, "best": None,
+                                          "architecture": cfg.architecture,
+                                          "backbone": cfg.backbone,
+                                          "encoder_variant":
+                                              model.encoder_variant,
                                           "done": True,
                                           "epochs_run": epochs_run})
             # second barrier: the done-marker write above must be globally

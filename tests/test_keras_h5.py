@@ -269,6 +269,63 @@ def test_factory_selects_preact_for_h5(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_checkpoint_sidecar_pins_encoder_variant(tmp_path):
+    """Fit with .h5 encoder weights (preact graph), DELETE the .h5, then
+    load + predict must reproduce the fitted model — the sidecar's
+    recorded encoder_variant wins over weight-file re-resolution
+    (VERDICT r3 item 3)."""
+    import os
+
+    import segmentation_training_pipeline_tpu as stp
+    from segmentation_training_pipeline_tpu.train.checkpoint import (
+        checkpoint_meta,
+    )
+
+    oracle = TorchPreactResNet(stage_sizes=(2, 2, 2, 2)).eval()  # resnet18
+    randomize_(oracle, seed=23)
+    with torch.no_grad():
+        oracle.bn_data.weight.fill_(1.0)
+    h5_path = str(tmp_path / "resnet18.h5")
+    _export_preact_h5(oracle, h5_path)
+
+    def make_cfg():
+        return stp.parse_dict(
+            dict(architecture="Unet", backbone="resnet18", shape=[64, 64, 3],
+                 classes=1, activation="sigmoid", loss="binary_crossentropy",
+                 encoder_weights=h5_path, dtype="float32", batch=4,
+                 folds_count=2, testSplit=0.25,
+                 stages=[{"epochs": 1, "lr": 1e-3}]),
+            directory=str(tmp_path))
+
+    r = np.random.RandomState(3)
+    from segmentation_training_pipeline_tpu.data.datasets import LambdaDataSet
+    xs = [r.randint(0, 255, (64, 64, 3), np.uint8) for _ in range(8)]
+    ys = [(r.rand(64, 64) > 0.7).astype(np.uint8) for _ in range(8)]
+    ds = LambdaDataSet(xs, ys)
+
+    cfg = make_cfg()
+    cfg.fit(ds, foldsToExecute=[0])
+    meta = checkpoint_meta(cfg.weights_path(0, 0))
+    assert meta["encoder_variant"] == "keras-preact"
+
+    probe = np.stack(xs[:4])
+    before = [p.prediction.copy() for p in cfg.predict_on_dataset(
+        LambdaDataSet(list(probe), ys[:4]), folds=[0], stage=0)]
+
+    os.remove(h5_path)  # the footgun: weights file gone between fit & load
+
+    cfg2 = make_cfg()  # fresh parse — no cached model
+    after = [p.prediction.copy() for p in cfg2.predict_on_dataset(
+        LambdaDataSet(list(probe), ys[:4]), folds=[0], stage=0)]
+    for b, a in zip(before, after):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # resume with the .h5 gone must also rebuild the same graph (skip path)
+    cfg3 = make_cfg()
+    res = cfg3.fit(ds, foldsToExecute=[0])
+    assert res["fold0.stage0"]["skipped"]
+
+
 # ---------------------------------------------------------------------------
 # bonlime DeepLabV3+ pascal_voc (aligned Xception-65)
 # ---------------------------------------------------------------------------
