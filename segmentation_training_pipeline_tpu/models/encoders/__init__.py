@@ -12,6 +12,7 @@ from typing import Any, Dict, Tuple, Type
 
 from .resnet import ResNetEncoder, SENet154Encoder, SEResNetEncoder
 from .vgg import VGGEncoder
+from .mobilenet import MobileNetV1Encoder
 from .mobilenetv2 import MobileNetV2Encoder
 from .efficientnet import EfficientNetEncoder
 from .densenet import DenseNetEncoder
@@ -54,6 +55,8 @@ _SPECS: Dict[str, Tuple[Type, Dict[str, Any]]] = {
     "senet154": (SENet154Encoder, {}),
     "vgg16": (VGGEncoder, dict(stage_convs=(2, 2, 3, 3, 3))),
     "vgg19": (VGGEncoder, dict(stage_convs=(2, 2, 4, 4, 4))),
+    "mobilenet": (MobileNetV1Encoder, {}),
+    "mobilenetv1": (MobileNetV1Encoder, {}),  # alias
     "mobilenetv2": (MobileNetV2Encoder, {}),
     "densenet121": (DenseNetEncoder, dict(block_sizes=(6, 12, 24, 16))),
     "densenet169": (DenseNetEncoder, dict(block_sizes=(6, 12, 32, 32))),

@@ -145,12 +145,23 @@ class PreactResNetEncoder(nn.Module):
     resnet18/34: C1 = ``relu0``, C2..C4 = ``stage{2,3,4}_unit1_relu1``
     (the pre-activation of the NEXT stage normalizes the previous stage's
     output at its stride), C5 = the final ``bn1``+``relu1``.  Channel
-    counts (64/64/128/256/512) equal the post-act encoder's, so every
-    decoder works unchanged.
+    counts (64/64/128/256/512 basic, 64/256/512/1024/2048 bottleneck)
+    equal the post-act encoder's, so every decoder works unchanged.
+
+    ``bottleneck=True`` builds classification_models' preact BOTTLENECK
+    units (resnet50/101/152 ``.h5`` files: conv1 1x1 → conv2 3x3 stride →
+    conv3 1x1·4w, same ``stage/unit`` naming).  ``se=True`` appends the
+    zoo's ChannelSE attention (two biased 1x1 convs, r=16) to each unit's
+    branch before the residual add — the seresnet18/34 graph.  Both are
+    [MED]-confidence reconstructions of the upstream Keras code (the
+    reference mount is empty — SURVEY.md §0); shape validation in
+    models/keras_h5.py makes a wrong guess fail loudly at load.
     """
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     width: int = 64
+    bottleneck: bool = False
+    se: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -170,6 +181,7 @@ class PreactResNetEncoder(nn.Module):
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
         for stage, n_blocks in enumerate(self.stage_sizes):
             features = self.width * (2 ** stage)
+            out_ch = features * 4 if self.bottleneck else features
             for b in range(n_blocks):
                 u = f"stage{stage + 1}_unit{b + 1}"
                 s = (2, 2) if (b == 0 and stage > 0) else (1, 1)
@@ -178,16 +190,33 @@ class PreactResNetEncoder(nn.Module):
                     feats.append(h)           # C2..C4 = stageN_unit1_relu1
                 if b == 0:
                     # 'post' cut: shortcut conv reads the PRE-ACTIVATED h
-                    sc = nn.Conv(features, (1, 1), s, use_bias=False,
+                    sc = nn.Conv(out_ch, (1, 1), s, use_bias=False,
                                  dtype=self.dtype, name=f"{u}_sc")(h)
                 else:
                     sc = y
-                h = nn.Conv(features, (3, 3), s, padding="SAME",
-                            use_bias=False, dtype=self.dtype,
-                            name=f"{u}_conv1")(h)
-                h = nn.relu(norm(f"{u}_bn2")(h))
-                h = nn.Conv(features, (3, 3), padding="SAME", use_bias=False,
-                            dtype=self.dtype, name=f"{u}_conv2")(h)
+                if self.bottleneck:
+                    h = nn.Conv(features, (1, 1), use_bias=False,
+                                dtype=self.dtype, name=f"{u}_conv1")(h)
+                    h = nn.relu(norm(f"{u}_bn2")(h))
+                    h = nn.Conv(features, (3, 3), s, padding="SAME",
+                                use_bias=False, dtype=self.dtype,
+                                name=f"{u}_conv2")(h)
+                    h = nn.relu(norm(f"{u}_bn3")(h))
+                    h = nn.Conv(out_ch, (1, 1), use_bias=False,
+                                dtype=self.dtype, name=f"{u}_conv3")(h)
+                else:
+                    h = nn.Conv(features, (3, 3), s, padding="SAME",
+                                use_bias=False, dtype=self.dtype,
+                                name=f"{u}_conv1")(h)
+                    h = nn.relu(norm(f"{u}_bn2")(h))
+                    h = nn.Conv(features, (3, 3), padding="SAME",
+                                use_bias=False, dtype=self.dtype,
+                                name=f"{u}_conv2")(h)
+                if self.se:
+                    # classification_models ChannelSE: biased 1x1 convs,
+                    # r=16, applied to the branch before the residual add
+                    h = SEBlock(max(out_ch // 16, 1), dtype=self.dtype,
+                                act_fn="relu", name=f"{u}_se")(h)
                 y = h + sc
         y = nn.relu(norm("bn1")(y))
         feats.append(y)                       # C5, stride 32

@@ -84,12 +84,14 @@ class SegmentationModel(nn.Module):
         if self.encoder_variant == "keras-preact":
             from .encoders.resnet import PreactResNetEncoder
 
-            if self.backbone not in ("resnet18", "resnet34"):
+            if self.backbone.lower() not in _PREACT_BACKBONES:
                 raise KeyError(
                     "encoder_variant='keras-preact' only applies to "
-                    f"resnet18/34, got {self.backbone!r}")
+                    f"{sorted(_PREACT_BACKBONES)}, got {self.backbone!r}")
             enc_cls = PreactResNetEncoder
-            enc_kw = dict(stage_sizes=enc_kw["stage_sizes"])
+            enc_kw = dict(stage_sizes=enc_kw["stage_sizes"],
+                          bottleneck=enc_kw.get("bottleneck", False),
+                          se=self.backbone.lower().startswith("seresnet"))
         elif self.encoder_variant:
             raise KeyError(
                 f"unknown encoder_variant {self.encoder_variant!r}")
@@ -144,13 +146,21 @@ def create_model(architecture: str, backbone: str, classes: int = 1,
     )
 
 
+# classification_models builds these from the PRE-ACTIVATION graph, so
+# their reference-era .h5 checkpoints only ingest into that variant
+_PREACT_BACKBONES = frozenset({
+    "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+    "seresnet18", "seresnet34",
+})
+
+
 def _variant_for_config(cfg) -> str:
-    """Keras ``.h5`` resnet18/34 weights imply the preact graph — decide
-    at model-build time so the weights ingest 1:1.  Deterministic across
-    fit/predict as long as the weights file stays resolvable (documented
-    in docs/schema.md)."""
+    """Keras ``.h5`` weights for a classification_models-era resnet imply
+    the preact graph — decide at model-build time so the weights ingest
+    1:1.  The checkpoint sidecar pins the decision afterwards
+    (``variant_from_checkpoint``)."""
     spec = getattr(cfg, "encoder_weights", None)
-    if spec and cfg.backbone in ("resnet18", "resnet34"):
+    if spec and cfg.backbone.lower() in _PREACT_BACKBONES:
         from .pretrained import resolve_pretrained_path
 
         path = resolve_pretrained_path(cfg.backbone, spec, quiet=True)

@@ -308,6 +308,54 @@ def convert_torch_mobilenetv2(state: Dict[str, Any],
 
 
 # ---------------------------------------------------------------------------
+# timm-mobilenetv1 naming → our MobileNetV1Encoder tree
+# (`conv_stem` + `bn1` stem; `blocks.{s}.{j}` DepthwiseSeparableConv units
+#  with `conv_dw`/`bn1`/`conv_pw`/`bn2` — timm `mobilenetv1_100`.  There is
+#  no torchvision mobilenet v1; timm's is the canonical torch checkpoint
+#  lineage.  Stage grouping r1/r2/r2/r6/r2 flattens to our 13 blocks.)
+# ---------------------------------------------------------------------------
+
+def convert_torch_mobilenetv1(state: Dict[str, Any],
+                              params_enc: Dict[str, Any],
+                              stats_enc: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    import copy
+
+    if "conv_stem.weight" not in state:
+        raise PretrainedWeightsError(
+            "state dict has no conv_stem — not a timm mobilenetv1? "
+            "(mobilenet_v2 checkpoints use the mobilenetv2 backbone)")
+    params = copy.deepcopy(jax_to_np(params_enc))
+    stats = copy.deepcopy(jax_to_np(stats_enc))
+
+    _put_conv(state, params["conv1"], "conv_stem.weight")
+    _put_bn(state, params["conv1_bn"], stats["conv1_bn"], "bn1")
+
+    # flatten timm's (stage, repeat) grouping into keras' 1..13 numbering
+    flat = []
+    s = 0
+    while f"blocks.{s}.0.conv_dw.weight" in state:
+        j = 0
+        while f"blocks.{s}.{j}.conv_dw.weight" in state:
+            flat.append(f"blocks.{s}.{j}")
+            j += 1
+        s += 1
+    if len(flat) != 13:
+        raise PretrainedWeightsError(
+            f"state dict has {len(flat)} depthwise-separable blocks; "
+            "mobilenet v1 has 13 — wrong model?")
+    for i, p in enumerate(flat, start=1):
+        # timm stores depthwise kernels as (C, 1, kH, kW); the OIHW→HWIO
+        # transpose yields (kH, kW, 1, C) — exactly Flax's grouped layout
+        _put_conv(state, params[f"conv_dw_{i}"], f"{p}.conv_dw.weight")
+        _put_bn(state, params[f"conv_dw_{i}_bn"], stats[f"conv_dw_{i}_bn"],
+                f"{p}.bn1")
+        _put_conv(state, params[f"conv_pw_{i}"], f"{p}.conv_pw.weight")
+        _put_bn(state, params[f"conv_pw_{i}_bn"], stats[f"conv_pw_{i}_bn"],
+                f"{p}.bn2")
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
 # npz round-trip of our own encoder tree
 # ---------------------------------------------------------------------------
 
@@ -723,6 +771,8 @@ def torch_converter_for(backbone: str):
         return convert_torch_efficientnet
     if backbone == "mobilenetv2":
         return convert_torch_mobilenetv2
+    if backbone in ("mobilenet", "mobilenetv1"):
+        return convert_torch_mobilenetv1
     if backbone.startswith("vgg"):
         return convert_torch_vgg
     if backbone.startswith("densenet"):

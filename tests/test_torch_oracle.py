@@ -126,6 +126,39 @@ def test_inception_xception_match_torch(backbone):
             err_msg=f"{backbone} tap C{i+1} diverged from the torch oracle")
 
 
+def test_mobilenetv1_matches_torch():
+    """timm-style mobilenet v1 state dict → MobileNetV1Encoder: all five
+    taps agree (stride placement 2/4/6/12 + dw transpose + ReLU6)."""
+    from segmentation_training_pipeline_tpu.models.pretrained import (
+        convert_torch_mobilenetv1,
+    )
+
+    from torch_oracles import TorchMobileNetV1
+
+    oracle = TorchMobileNetV1().eval()
+    randomize_(oracle, seed=11)
+    rng = np.random.RandomState(2)
+    x = rng.rand(2, 65, 65, 3).astype(np.float32)
+    with torch.no_grad():
+        want = [t.numpy() for t in
+                oracle(torch.from_numpy(x.transpose(0, 3, 1, 2)))]
+
+    enc = build_encoder("mobilenet", dtype=jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    new_p, new_s = convert_torch_mobilenetv1(
+        _state_np(oracle), variables["params"], variables["batch_stats"])
+    got = enc.apply({"params": new_p, "batch_stats": new_s},
+                    jnp.asarray(x), train=False)
+
+    assert len(got) == len(want) == 5
+    for i, (g, w) in enumerate(zip(got, want)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        assert g.shape == w.shape, f"tap C{i+1}: {g.shape} vs {w.shape}"
+        np.testing.assert_allclose(
+            g, w, rtol=1e-3, atol=2e-3,
+            err_msg=f"mobilenet v1 tap C{i+1} diverged from the oracle")
+
+
 def test_plain_weights_into_se_encoder_raises():
     oracle = TorchResNet(stage_sizes=(2, 2, 2, 2)).eval()
     with pytest.raises(PretrainedWeightsError, match="SE"):

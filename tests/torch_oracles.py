@@ -540,29 +540,54 @@ class TorchXception(nn.Module):
 # ---------------------------------------------------------------------------
 
 class TorchPreactResNet(nn.Module):
-    def __init__(self, stage_sizes=(3, 4, 6, 3), width=64):
+    """classification_models preact graph: basic (resnet18/34), bottleneck
+    (resnet50/101/152) and ChannelSE (seresnet18/34) variants.  SE convs
+    are intentionally NOT named stage/unit — the real Keras zoo leaves
+    them unnamed (auto ``conv2d_N``), mirrored by the h5 export helper."""
+
+    def __init__(self, stage_sizes=(3, 4, 6, 3), width=64,
+                 bottleneck=False, se=False):
         super().__init__()
         self.stage_sizes = tuple(stage_sizes)
+        self.bottleneck = bottleneck
+        self.se = se
         self.bn_data = nn.BatchNorm2d(3, eps=1e-3)
         self.conv0 = nn.Conv2d(3, width, 7, 2, 3, bias=False)
         self.bn0 = nn.BatchNorm2d(width, eps=1e-3)
         self.maxpool = nn.MaxPool2d(3, 2, 1)
+        self.se_convs = nn.ModuleList()
         cin = width
         for s, n in enumerate(stage_sizes):
             f = width * (2 ** s)
+            fout = f * 4 if bottleneck else f
             for u in range(n):
                 p = f"stage{s + 1}_unit{u + 1}"
                 stride = 2 if (u == 0 and s > 0) else 1
                 setattr(self, f"{p}_bn1", nn.BatchNorm2d(cin, eps=1e-3))
                 if u == 0:
                     setattr(self, f"{p}_sc",
-                            nn.Conv2d(cin, f, 1, stride, bias=False))
-                setattr(self, f"{p}_conv1",
-                        nn.Conv2d(cin, f, 3, stride, 1, bias=False))
-                setattr(self, f"{p}_bn2", nn.BatchNorm2d(f, eps=1e-3))
-                setattr(self, f"{p}_conv2",
-                        nn.Conv2d(f, f, 3, 1, 1, bias=False))
-                cin = f
+                            nn.Conv2d(cin, fout, 1, stride, bias=False))
+                if bottleneck:
+                    setattr(self, f"{p}_conv1",
+                            nn.Conv2d(cin, f, 1, 1, bias=False))
+                    setattr(self, f"{p}_bn2", nn.BatchNorm2d(f, eps=1e-3))
+                    setattr(self, f"{p}_conv2",
+                            nn.Conv2d(f, f, 3, stride, 1, bias=False))
+                    setattr(self, f"{p}_bn3", nn.BatchNorm2d(f, eps=1e-3))
+                    setattr(self, f"{p}_conv3",
+                            nn.Conv2d(f, fout, 1, 1, bias=False))
+                else:
+                    setattr(self, f"{p}_conv1",
+                            nn.Conv2d(cin, f, 3, stride, 1, bias=False))
+                    setattr(self, f"{p}_bn2", nn.BatchNorm2d(f, eps=1e-3))
+                    setattr(self, f"{p}_conv2",
+                            nn.Conv2d(f, f, 3, 1, 1, bias=False))
+                if se:
+                    self.se_convs.append(
+                        nn.Conv2d(fout, max(fout // 16, 1), 1))
+                    self.se_convs.append(
+                        nn.Conv2d(max(fout // 16, 1), fout, 1))
+                cin = fout
         self.bn1 = nn.BatchNorm2d(cin, eps=1e-3)
 
     def forward(self, x):
@@ -571,6 +596,7 @@ class TorchPreactResNet(nn.Module):
         y = torch.relu(self.bn0(self.conv0(y)))
         feats.append(y)                       # C1 = relu0
         y = self.maxpool(y)
+        se_i = 0
         for s, n in enumerate(self.stage_sizes):
             for u in range(n):
                 p = f"stage{s + 1}_unit{u + 1}"
@@ -581,8 +607,63 @@ class TorchPreactResNet(nn.Module):
                 h = getattr(self, f"{p}_conv1")(h)
                 h = torch.relu(getattr(self, f"{p}_bn2")(h))
                 h = getattr(self, f"{p}_conv2")(h)
+                if self.bottleneck:
+                    h = torch.relu(getattr(self, f"{p}_bn3")(h))
+                    h = getattr(self, f"{p}_conv3")(h)
+                if self.se:
+                    a = h.mean(dim=(2, 3), keepdim=True)
+                    a = torch.relu(self.se_convs[se_i](a))
+                    a = torch.sigmoid(self.se_convs[se_i + 1](a))
+                    h = h * a
+                    se_i += 2
                 y = h + sc
         feats.append(torch.relu(self.bn1(y)))  # C5
+        return feats
+
+
+class TorchMobileNetV1(nn.Module):
+    """timm ``mobilenetv1_100`` layout: ``conv_stem``/``bn1`` stem and
+    ``blocks.{stage}.{repeat}`` DepthwiseSeparableConv units
+    (``conv_dw``/``bn1``/``conv_pw``/``bn2``), ReLU6.  BN eps pinned to
+    the Keras 1e-3 to isolate converter correctness (the encoder targets
+    the Keras graph; a real timm checkpoint's 1e-5-vs-1e-3 gap only
+    perturbs activations by ~var+eps, not the weights)."""
+
+    # timm stage grouping r1/r2/r2/r6/r2 (flattens to keras blocks 1..13)
+    _STAGES = ((1, 64), (2, 128), (2, 256), (6, 512), (2, 1024))
+
+    def __init__(self):
+        super().__init__()
+        self.conv_stem = nn.Conv2d(3, 32, 3, 2, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(32, eps=1e-3)
+        self.blocks = nn.ModuleList()
+        cin = 32
+        for si, (reps, ch) in enumerate(self._STAGES):
+            stage = nn.ModuleList()
+            for j in range(reps):
+                blk = nn.Module()
+                stride = 2 if (si > 0 and j == 0) else 1
+                blk.conv_dw = nn.Conv2d(cin, cin, 3, stride, 1, groups=cin,
+                                        bias=False)
+                blk.bn1 = nn.BatchNorm2d(cin, eps=1e-3)
+                blk.conv_pw = nn.Conv2d(cin, ch, 1, bias=False)
+                blk.bn2 = nn.BatchNorm2d(ch, eps=1e-3)
+                stage.append(blk)
+                cin = ch
+            self.blocks.append(stage)
+
+    def forward(self, x):
+        relu6 = nn.functional.relu6
+        feats = []
+        y = relu6(self.bn1(self.conv_stem(x)))
+        i = 0
+        for stage in self.blocks:
+            for blk in stage:
+                y = relu6(blk.bn1(blk.conv_dw(y)))
+                y = relu6(blk.bn2(blk.conv_pw(y)))
+                i += 1
+                if i in (1, 3, 5, 11, 13):
+                    feats.append(y)
         return feats
 
 
