@@ -36,7 +36,7 @@ for name in [
     "seresnet18", "seresnet34", "seresnet50", "seresnet101", "seresnet152",
     "resnext50", "resnext101", "seresnext50", "seresnext101", "senet154",
     "vgg16", "vgg19",
-    "mobilenetv2",
+    "mobilenet", "mobilenetv1", "mobilenetv2",
     "efficientnetb0", "efficientnetb1", "efficientnetb2", "efficientnetb3",
     "efficientnetb4", "efficientnetb5", "efficientnetb6", "efficientnetb7",
     "densenet121", "densenet169", "densenet201",
@@ -99,6 +99,17 @@ for name, aliases in [
     ("Emboss", ()),
     ("Dropout", ()),
     ("SaltAndPepper", ("SaltPepper",)),
+    ("Salt", ()),
+    ("Pepper", ()),
+    ("ImpulseNoise", ()),
+    ("CoarseSaltAndPepper", ()),
+    ("CoarseSalt", ()),
+    ("CoarsePepper", ()),
+    ("AdditiveLaplaceNoise", ()),
+    ("EdgeDetect", ()),
+    ("AveragePooling", ()),
+    ("MaxPooling", ()),
+    ("MinPooling", ()),
     ("PiecewiseAffine", ()),
     ("PerspectiveTransform", ()),
     ("AddToHueAndSaturation", ()),

@@ -192,6 +192,23 @@ def _normalize_callbacks(spec) -> List[Dict[str, Any]]:
     return out
 
 
+# Real imgaug names we deliberately do NOT lower (docs/schema.md lists
+# each with the reason + nearest equivalent).  A migrating config hitting
+# one of these gets a pointed answer instead of a bare unknown-key error
+# (VERDICT r3 item 9).
+_KNOWN_UNSUPPORTED_AUGMENTERS = frozenset({
+    "Superpixels", "Voronoi", "UniformVoronoi", "RegularGridVoronoi",
+    "Canny", "Cartoon", "Jigsaw", "MedianPooling", "BilateralBlur",
+    "MeanShiftBlur", "DirectedEdgeDetect", "FastSnowyLandscape",
+    "ChangeColorspace", "WithColorspace", "WithHueAndSaturation",
+    "WithBrightnessChannels", "KMeansColorQuantization",
+    "AveragePool", "ElasticTransformationApprox", "PadToFixedSize",
+    "CenterCropToFixedSize", "Lambda", "AssertShape", "AssertLambda",
+    "ChannelDropout", "TotalDropout", "RelativeRegularGridVoronoi",
+})
+_UNSUPPORTED_AUG_PREFIXES = ("BlendAlpha", "pillike", "imgcorruptlike")
+
+
 def _normalize_augmentation(spec) -> List[Dict[str, Any]]:
     """Validate & normalize the imgaug-style ``augmentation:`` block.
 
@@ -219,6 +236,15 @@ def _normalize_augmentation(spec) -> List[Dict[str, Any]]:
     out = []
     for name, args in items:
         if name not in AUGMENTERS:
+            if name in _KNOWN_UNSUPPORTED_AUGMENTERS or any(
+                    name.startswith(p)
+                    for p in _UNSUPPORTED_AUG_PREFIXES):
+                raise ConfigError(
+                    f"augmenter {name!r} is a real imgaug name this "
+                    "pipeline intentionally does not lower (see the "
+                    "'imgaug names we do not lower' list in "
+                    "docs/schema.md for why and for the nearest "
+                    "supported equivalent)")
             hint = AUGMENTERS.suggest(name)
             extra = f" Did you mean {hint!r}?" if hint else ""
             raise ConfigError(f"unknown augmenter {name!r}.{extra}")

@@ -1000,6 +1000,47 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         a = args if not isinstance(args, dict) else args.get("p", 0.05)
         k1, k2 = jax.random.split(k)
         imgs = ph.salt_and_pepper(k2, imgs, _sample(k1, a, b, 0.05))
+    elif name in ("salt", "pepper"):
+        a = args if not isinstance(args, dict) else args.get("p", 0.05)
+        k1, k2 = jax.random.split(k)
+        fn = ph.salt if name == "salt" else ph.pepper
+        imgs = fn(k2, imgs, _sample(k1, a, b, 0.05))
+    elif name == "impulsenoise":
+        a = args if not isinstance(args, dict) else args.get("p", 0.05)
+        k1, k2 = jax.random.split(k)
+        imgs = ph.impulse_noise(k2, imgs, _sample(k1, a, b, 0.05))
+    elif name in ("coarsesaltandpepper", "coarsesalt", "coarsepepper"):
+        a = args or {}
+        if isinstance(a, (int, float, list, tuple)):
+            p_spec, size = a, 0.1
+        else:
+            p_spec = a.get("p", 0.05)
+            size = float(a.get("size_percent", 0.1))
+        mode = {"coarsesalt": "salt", "coarsepepper": "pepper"}.get(
+            name, "both")
+        k1, k2 = jax.random.split(k)
+        imgs = ph.coarse_salt_and_pepper(k2, imgs, _sample(k1, p_spec, b),
+                                         size_frac=size, mode=mode)
+    elif name == "additivelaplacenoise":
+        a = args if not isinstance(args, dict) else args.get("scale", 0.0)
+        k1, k2 = jax.random.split(k)
+        imgs = ph.laplace_noise(k2, imgs, _sample(k1, a, b, 0.0))
+    elif name == "edgedetect":
+        a = args if not isinstance(args, dict) else args.get("alpha",
+                                                             [0.0, 0.75])
+        imgs = ph.edge_detect(imgs, _sample(k, a, b))
+    elif name in ("averagepooling", "maxpooling", "minpooling"):
+        a = args if not isinstance(args, dict) else args.get("k", 2)
+        ok = (isinstance(a, (int, float)) and not isinstance(a, bool)
+              and float(a) == int(a) and int(a) >= 1)
+        if not ok:
+            raise ValueError(
+                f"{name} k must be a static integer >= 1 here (pooling "
+                "windows are compile-time shapes); got "
+                f"{a!r} — see docs/schema.md deviations")
+        mode = {"averagepooling": "avg", "maxpooling": "max",
+                "minpooling": "min"}[name]
+        imgs = ph.keep_size_pooling(imgs, int(a), mode)
     elif name == "motionblur":
         a = args if isinstance(args, dict) else {"k": args}
         k1, k2 = jax.random.split(k)

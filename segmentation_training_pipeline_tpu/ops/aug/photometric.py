@@ -782,3 +782,94 @@ def histogram_equalization(images: Array) -> Array:
     lut = jnp.clip(jnp.round((cdf - cdf_min) * 255.0 / denom), 0, 255)
     out = _apply_lut256(lut, flat)                       # (B, C, N)
     return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+
+# ---------------------------------------------------------------------------
+# round-4 breadth batch (VERDICT r3 item 9 cheap wins): Salt / Pepper /
+# ImpulseNoise / coarse variants, AdditiveLaplaceNoise, EdgeDetect, and
+# keep-size pooling (imgaug aug names a migrating config may carry).
+# ---------------------------------------------------------------------------
+
+def salt(rng: Array, images: Array, p: Array) -> Array:
+    """imgaug Salt: replace a fraction p of pixels with 255 (bright only)."""
+    b, h, w, _ = images.shape
+    u = jax.random.uniform(rng, (b, h, w, 1))
+    return jnp.where(u < p[:, None, None, None], 255.0, images)
+
+
+def pepper(rng: Array, images: Array, p: Array) -> Array:
+    """imgaug Pepper: replace a fraction p of pixels with 0 (dark only)."""
+    b, h, w, _ = images.shape
+    u = jax.random.uniform(rng, (b, h, w, 1))
+    return jnp.where(u < p[:, None, None, None], 0.0, images)
+
+
+def impulse_noise(rng: Array, images: Array, p: Array) -> Array:
+    """imgaug ImpulseNoise == SaltAndPepper(per_channel=True): each
+    CHANNEL draws independently (colored speckles)."""
+    u = jax.random.uniform(rng, images.shape)
+    pp = p[:, None, None, None]
+    out = jnp.where(u < pp * 0.5, 0.0, images)
+    return jnp.where((u >= pp * 0.5) & (u < pp), 255.0, out)
+
+
+def coarse_salt_and_pepper(rng: Array, images: Array, p: Array,
+                           size_frac: float = 0.1,
+                           mode: str = "both") -> Array:
+    """imgaug CoarseSaltAndPepper / CoarseSalt / CoarsePepper: the
+    low-res bernoulli mask of CoarseDropout, filled with 255/0 instead of
+    dropped."""
+    b, h, w, _ = images.shape
+    gh = max(1, int(round(h * size_frac)))
+    gw = max(1, int(round(w * size_frac)))
+    u = jax.random.uniform(rng, (b, gh, gw, 1))
+    u = jax.image.resize(u, (b, h, w, 1), "nearest")
+    pp = p[:, None, None, None]
+    if mode == "salt":
+        return jnp.where(u < pp, 255.0, images)
+    if mode == "pepper":
+        return jnp.where(u < pp, 0.0, images)
+    out = jnp.where(u < pp * 0.5, 0.0, images)
+    return jnp.where((u >= pp * 0.5) & (u < pp), 255.0, out)
+
+
+def laplace_noise(rng: Array, images: Array, scale: Array) -> Array:
+    """imgaug AdditiveLaplaceNoise: additive Laplace(0, scale) noise."""
+    noise = jax.random.laplace(rng, images.shape, jnp.float32)
+    return images + noise * scale[:, None, None, None]
+
+
+def edge_detect(images: Array, alpha: Array) -> Array:
+    """imgaug EdgeDetect: blend toward the 3x3 edge response
+    [[0,1,0],[1,-4,1],[0,1,0]] (Laplacian magnitude-free variant —
+    documented approximation in docs/schema.md)."""
+    kern = jnp.array([[0.0, 1.0, 0.0],
+                      [1.0, -4.0, 1.0],
+                      [0.0, 1.0, 0.0]], jnp.float32)
+    edge = jax.vmap(lambda im: _depthwise3x3(im, kern))(images)
+    a = alpha[:, None, None, None]
+    return (1.0 - a) * images + a * edge
+
+
+def keep_size_pooling(images: Array, ksize: int, mode: str) -> Array:
+    """imgaug {Average,Max,Min}Pooling with keep_size=True: pool with a
+    static k×k window at stride k, then resize back to the input size.
+    Deviation (docs/schema.md): upsampling is nearest (blocky), imgaug
+    interpolates."""
+    b, h, w, c = images.shape
+    k = int(ksize)
+    if k <= 1:
+        return images
+    init, op = {
+        "avg": (0.0, jax.lax.add),
+        "max": (-jnp.inf, jax.lax.max),
+        "min": (jnp.inf, jax.lax.min),
+    }[mode]
+    red = jax.lax.reduce_window(images, init, op,
+                                (1, k, k, 1), (1, k, k, 1), "SAME")
+    if mode == "avg":
+        ones = jnp.ones((1, h, w, 1), jnp.float32)
+        counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add,
+                                       (1, k, k, 1), (1, k, k, 1), "SAME")
+        red = red / counts
+    return jax.image.resize(red, (b, h, w, c), "nearest")

@@ -783,3 +783,110 @@ def test_resize_nonpositive_rejected():
         _run([("Resize", 0.0)], _imgs(), _masks())
     with pytest.raises(ValueError, match="absolute"):
         _run([("Resize", 0)], _imgs(), _masks())
+
+
+class TestBreadthNoisePooling:
+    """Round-4 breadth batch (VERDICT r3 item 9): Salt / Pepper /
+    ImpulseNoise / Coarse* variants, AdditiveLaplaceNoise, EdgeDetect,
+    keep-size pooling.  Oracles: closed-form numpy / scipy.ndimage."""
+
+    def test_salt_p1_all_bright(self):
+        imgs = np.full((2, 16, 16, 3), 100, np.uint8)
+        oi, om = _run([("Salt", 1.0)], imgs, _masks(2, 16, 16))
+        assert np.all(oi == 255.0)
+        np.testing.assert_array_equal(om, _masks(2, 16, 16))
+
+    def test_pepper_p1_all_dark(self):
+        imgs = np.full((1, 16, 16, 3), 100, np.uint8)
+        oi, _ = _run([("Pepper", 1.0)], imgs, _masks(1, 16, 16))
+        assert np.all(oi == 0.0)
+
+    def test_salt_p0_identity(self):
+        imgs = _imgs(1, 16, 16)
+        oi, _ = _run([("Salt", 0.0)], imgs, _masks(1, 16, 16))
+        np.testing.assert_allclose(oi, imgs.astype(np.float32), atol=1e-4)
+
+    def test_impulse_noise_is_per_channel(self):
+        # ImpulseNoise == SaltAndPepper(per_channel=True): with p=1 every
+        # CHANNEL flips to 0/255 independently -> colored speckles, i.e.
+        # some pixels whose channels disagree.
+        imgs = np.full((1, 32, 32, 3), 100, np.uint8)
+        oi, _ = _run([("ImpulseNoise", 1.0)], imgs, _masks(1, 32, 32))
+        assert set(np.unique(oi)) <= {0.0, 255.0}
+        per_pixel_spread = oi.max(axis=-1) - oi.min(axis=-1)
+        assert (per_pixel_spread > 0).any()
+
+    def test_coarse_salt_blocks(self):
+        # size_percent=0.25 on 16x16 -> 4x4 grid upsampled nearest: the
+        # replaced region must be constant over each 4x4 block.
+        imgs = np.full((1, 16, 16, 3), 100, np.uint8)
+        oi, _ = _run([("CoarseSalt", {"p": 0.5, "size_percent": 0.25})],
+                     imgs, _masks(1, 16, 16))
+        assert set(np.unique(oi)) <= {100.0, 255.0}
+        hit = (oi[0, :, :, 0] == 255.0).reshape(4, 4, 4, 4)
+        per_block = hit.transpose(0, 2, 1, 3).reshape(16, 16)
+        assert np.all(per_block.all(-1) | (~per_block.any(-1)))
+
+    def test_coarse_pepper_and_both(self):
+        imgs = np.full((1, 16, 16, 3), 100, np.uint8)
+        oi, _ = _run([("CoarsePepper", 1.0)], imgs, _masks(1, 16, 16))
+        assert np.all(oi == 0.0)
+        oi, _ = _run([("CoarseSaltAndPepper",
+                       {"p": 1.0, "size_percent": 0.25})],
+                     imgs, _masks(1, 16, 16))
+        assert set(np.unique(oi)) <= {0.0, 255.0}
+        assert (oi == 0.0).any() and (oi == 255.0).any()
+
+    def test_laplace_noise_scale0_identity_and_changes(self):
+        imgs = _imgs(1, 16, 16)
+        oi, _ = _run([("AdditiveLaplaceNoise", {"scale": 0.0})],
+                     imgs, _masks(1, 16, 16))
+        np.testing.assert_allclose(oi, imgs.astype(np.float32), atol=1e-4)
+        oi, om = _run([("AdditiveLaplaceNoise", {"scale": 10.0})],
+                      imgs, _masks(1, 16, 16))
+        assert np.abs(oi - imgs.astype(np.float32)).mean() > 1.0
+        np.testing.assert_array_equal(om, _masks(1, 16, 16))
+
+    def test_edge_detect_alpha0_identity(self):
+        imgs = _imgs(1, 16, 16)
+        oi, _ = _run([("EdgeDetect", {"alpha": 0.0})], imgs,
+                     _masks(1, 16, 16))
+        np.testing.assert_allclose(oi, imgs.astype(np.float32), atol=1e-3)
+
+    def test_edge_detect_alpha1_matches_scipy(self):
+        from scipy.ndimage import correlate
+        imgs = _imgs(1, 16, 16).astype(np.float32)
+        oi, _ = _run([("EdgeDetect", {"alpha": 1.0})],
+                     imgs.astype(np.uint8), _masks(1, 16, 16))
+        kern = np.array([[0.0, 1.0, 0.0],
+                         [1.0, -4.0, 1.0],
+                         [0.0, 1.0, 0.0]], np.float32)
+        # jnp.pad(mode="reflect") == scipy's "mirror" (no edge duplication)
+        want = np.stack([correlate(imgs[0, :, :, c], kern, mode="mirror")
+                         for c in range(3)], axis=-1)
+        # pipeline clips to [0, 255] at segment end (documented deviation)
+        np.testing.assert_allclose(oi[0], np.clip(want, 0, 255), atol=1e-2)
+
+    @pytest.mark.parametrize("name,red", [
+        ("AveragePooling", np.mean),
+        ("MaxPooling", np.max),
+        ("MinPooling", np.min),
+    ])
+    def test_pooling_matches_block_oracle(self, name, red):
+        imgs = _imgs(1, 16, 16)
+        oi, om = _run([(name, 4)], imgs, _masks(1, 16, 16))
+        blocks = imgs[0].astype(np.float32).reshape(4, 4, 4, 4, 3)
+        pooled = red(blocks, axis=(1, 3))           # (4, 4, 3)
+        want = np.repeat(np.repeat(pooled, 4, 0), 4, 1)
+        np.testing.assert_allclose(oi[0], want, atol=1e-3)
+        np.testing.assert_array_equal(om, _masks(1, 16, 16))
+
+    def test_pooling_k1_identity(self):
+        imgs = _imgs(1, 16, 16)
+        oi, _ = _run([("AveragePooling", 1)], imgs, _masks(1, 16, 16))
+        np.testing.assert_allclose(oi, imgs.astype(np.float32), atol=1e-4)
+
+    @pytest.mark.parametrize("bad", [[2, 8], 0, 2.5, True])
+    def test_pooling_rejects_nonstatic_k(self, bad):
+        with pytest.raises(ValueError, match="static integer"):
+            _run([("MaxPooling", bad)], _imgs(), _masks())
