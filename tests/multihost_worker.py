@@ -19,17 +19,22 @@ import os
 import sys
 
 
-def make_config(hosts: int = 2, workdir: str = None):
+def make_config(hosts: int = 2, workdir: str = None, n_stages: int = 1):
     """The shared experiment config (worker AND single-process reference).
     ``workdir`` adds a TensorBoard callback (absolute log_dir) so the
-    worker can assert the event-writer primary-only contract."""
+    worker can assert the event-writer primary-only contract.
+    ``n_stages=2`` appends a second (lower-lr) stage for the crash-resume
+    scenario (VERDICT r3 item 8)."""
+    stages = [{"epochs": 2}]
+    if n_stages == 2:
+        stages.append({"epochs": 2, "lr": 5e-3})
     cfg = dict(
         architecture="Unet", backbone="resnet18", shape=[32, 32, 3],
         classes=1, activation="sigmoid", loss="binary_crossentropy",
         optimizer="SGD", lr=1e-2, batch=8, folds_count=2, dtype="float32",
         metrics=["iou"], primary_metric="val_iou",
         mesh={"hosts": hosts, "data": 8, "space": 1},
-        stages=[{"epochs": 2}],
+        stages=stages,
     )
     if workdir:
         cfg["callbacks"] = {
@@ -59,6 +64,11 @@ def make_dataset():
 def main():
     pid, nproc, port, workdir = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    # mode: "fit1" (default, the original 1-stage fit+refit scenario),
+    # "crash2" (2-stage config, hard-kill BOTH workers right after stage
+    # 0's done-marker barrier), "resume2" (re-run the same 2-stage
+    # command after the crash), "full2" (uninterrupted 2-stage reference)
+    mode = sys.argv[5] if len(sys.argv) > 5 else "fit1"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
@@ -100,21 +110,52 @@ def main():
 
         tfevents.EventFileWriter = _ForbiddenWriter
 
-    cfg = stp.parse_dict(make_config(hosts=nproc, workdir=workdir),
-                     directory=workdir)
+    n_stages = 1 if mode == "fit1" else 2
+    cfg = stp.parse_dict(
+        make_config(hosts=nproc, workdir=workdir, n_stages=n_stages),
+        directory=workdir)
     ds = make_dataset()
+
+    if mode == "crash2":
+        # hard-kill the worker the moment the stage runner probes stage
+        # 1's checkpoint — i.e. immediately AFTER stage 0's done-marker
+        # save + "stage-done" barrier.  os._exit skips every cleanup path
+        # (no atexit, no gloo teardown): as close to SIGKILL as we can
+        # get while keeping the kill point deterministic on BOTH ranks.
+        real_meta = stage_mod.checkpoint_meta
+        stage1_ckpt = cfg.weights_path(0, 1)
+
+        def crashing_meta(path):
+            if path == stage1_ckpt:
+                print(f"worker {pid}: simulated crash at stage-1 entry",
+                      flush=True)
+                os._exit(37)
+            return real_meta(path)
+
+        stage_mod.checkpoint_meta = crashing_meta
+        cfg.fit(ds, foldsToExecute=[0], verbose=0)
+        raise AssertionError("crash2 worker survived the fit")  # unreachable
+
     res = cfg.fit(ds, foldsToExecute=[0], verbose=0)
 
-    # second fit must be an idempotent no-op: done-marker skip across the
-    # stage barrier (crash-resume story, SURVEY §5 failure detection)
-    res2 = cfg.fit(ds, foldsToExecute=[0], verbose=0)
-
-    summary = {
-        "process": pid,
-        "best": res["fold0.stage0"]["best"],
-        "epochs": res["fold0.stage0"]["epochs"],
-        "resume_skipped": bool(res2["fold0.stage0"].get("skipped")),
-    }
+    if mode == "fit1":
+        # second fit must be an idempotent no-op: done-marker skip across
+        # the stage barrier (crash-resume story, SURVEY §5)
+        res2 = cfg.fit(ds, foldsToExecute=[0], verbose=0)
+        summary = {
+            "process": pid,
+            "best": res["fold0.stage0"]["best"],
+            "epochs": res["fold0.stage0"]["epochs"],
+            "resume_skipped": bool(res2["fold0.stage0"].get("skipped")),
+        }
+    else:  # resume2 / full2
+        summary = {
+            "process": pid,
+            "stage0_skipped": bool(res["fold0.stage0"].get("skipped")),
+            "stage0_best": res["fold0.stage0"].get("best"),
+            "stage1_best": res["fold0.stage1"].get("best"),
+            "stage1_epochs": res["fold0.stage1"].get("epochs"),
+        }
     with open(os.path.join(workdir, f"summary-{pid}.json"), "w") as f:
         json.dump(summary, f)
     print(f"worker {pid}: OK {summary}", flush=True)

@@ -203,3 +203,86 @@ def test_fit_pipeline_on_hosts_mesh(tmp_path, toy_ds):
                                        "best-0.0.weights.json"))
     assert os.path.exists(os.path.join(str(tmp_path), "metrics",
                                        "metrics-0.0.csv"))
+
+
+@pytest.mark.slow
+def test_two_process_crash_resume(tmp_path):
+    """VERDICT r3 item 8: hard-kill BOTH workers right after stage 0's
+    checkpoint + done-marker land, re-run the same command, and assert:
+    idempotent skip of the completed (fold, stage), best-carry into stage
+    1, stage-0 CSV untouched by the resume (byte-identical), and the same
+    final CSV row counts + stage-1 metrics as an uninterrupted run."""
+    import csv
+    import json
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+
+    def run(mode, workdir, port, want_rc):
+        workdir.mkdir(exist_ok=True)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), "2", port, str(workdir),
+                 mode],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for pid in (0, 1)
+        ]
+        outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == want_rc, \
+                f"mode={mode} rc={p.returncode} (want {want_rc}):\n{out[-4000:]}"
+        return outs
+
+    crash_dir = tmp_path / "crash"
+    # 1) the interrupted run: both workers die with the simulated-crash
+    # code 37 at stage-1 entry
+    run("crash2", crash_dir, "12941", want_rc=37)
+    ck0 = crash_dir / "weights" / "best-0.0.weights"
+    assert ck0.exists() and (crash_dir / "weights" /
+                             "best-0.0.weights.json").exists()
+    meta0 = json.loads((ck0.parent / "best-0.0.weights.json").read_text())
+    assert meta0["done"] is True  # the crash hit AFTER stage 0 completed
+    assert not (crash_dir / "weights" / "best-0.1.weights").exists()
+    csv0_after_crash = (crash_dir / "metrics" / "metrics-0.0.csv").read_bytes()
+
+    # 2) resume: the SAME command in the SAME directory
+    run("resume2", crash_dir, "12942", want_rc=0)
+    summaries = [json.loads((crash_dir / f"summary-{pid}.json").read_text())
+                 for pid in (0, 1)]
+    for s in summaries:
+        assert s["stage0_skipped"] is True      # idempotent (fold,stage) skip
+        assert s["stage1_epochs"] == 2          # stage 1 actually trained
+    assert summaries[0]["stage1_best"] == pytest.approx(
+        summaries[1]["stage1_best"])
+    # stage-0 artifacts untouched by the resume (no truncate/re-append)
+    assert (crash_dir / "metrics" / "metrics-0.0.csv").read_bytes() \
+        == csv0_after_crash
+    assert (crash_dir / "weights" / "best-0.1.weights").exists()
+    meta1 = json.loads((crash_dir / "weights" /
+                        "best-0.1.weights.json").read_text())
+    assert meta1["done"] is True
+
+    # 3) uninterrupted 2-stage reference run in a fresh directory
+    full_dir = tmp_path / "full"
+    run("full2", full_dir, "12943", want_rc=0)
+    full = json.loads((full_dir / "summary-0.json").read_text())
+    resumed = summaries[0]
+
+    def rows(d, stage):
+        with open(d / "metrics" / f"metrics-0.{stage}.csv") as f:
+            return list(csv.DictReader(f))
+
+    for stage in (0, 1):
+        r_rows, f_rows = rows(crash_dir, stage), rows(full_dir, stage)
+        assert len(r_rows) == len(f_rows) == 2, (stage, r_rows, f_rows)
+    # stage 1 resumes from stage 0's best checkpoint -> same math as the
+    # uninterrupted run (gloo reduction-order tolerance, see the fit test)
+    assert resumed["stage1_best"] == pytest.approx(full["stage1_best"],
+                                                   rel=2e-3)
+    for r_row, f_row in zip(rows(crash_dir, 1), rows(full_dir, 1)):
+        for k in ("loss", "iou", "val_loss", "val_iou"):
+            assert float(r_row[k]) == pytest.approx(
+                float(f_row[k]), rel=2e-3, abs=1e-5), k
