@@ -106,6 +106,14 @@ for name, aliases in [
     ("CoarseSalt", ()),
     ("CoarsePepper", ()),
     ("AdditiveLaplaceNoise", ()),
+    ("AddToHue", ()),
+    ("AddToSaturation", ()),
+    ("MultiplyHue", ()),
+    ("MultiplySaturation", ()),
+    ("RemoveSaturation", ()),
+    ("Dropout2d", ("ChannelDropout",)),
+    ("TotalDropout", ()),
+    ("Noop", ("Identity",)),
     ("EdgeDetect", ()),
     ("AveragePooling", ()),
     ("MaxPooling", ()),

@@ -204,7 +204,7 @@ _KNOWN_UNSUPPORTED_AUGMENTERS = frozenset({
     "WithBrightnessChannels", "KMeansColorQuantization",
     "AveragePool", "ElasticTransformationApprox", "PadToFixedSize",
     "CenterCropToFixedSize", "Lambda", "AssertShape", "AssertLambda",
-    "ChannelDropout", "TotalDropout", "RelativeRegularGridVoronoi",
+    "RelativeRegularGridVoronoi",
 })
 _UNSUPPORTED_AUG_PREFIXES = ("BlendAlpha", "pillike", "imgcorruptlike")
 

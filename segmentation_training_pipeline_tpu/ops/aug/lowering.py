@@ -911,6 +911,33 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         mh = _sample(k1, a.get("mul_hue", a.get("mul", [0.8, 1.2])), b)
         ms = _sample(k2, a.get("mul_saturation", a.get("mul", [0.8, 1.2])), b)
         imgs = ph.multiply_hue_and_saturation(imgs, mh, ms)
+    elif name == "addtohue":
+        a = args if not isinstance(args, dict) else args.get("value",
+                                                             [-255, 255])
+        imgs = ph.add_to_hue_and_saturation(imgs, _sample(k, a, b),
+                                            jnp.zeros((b,), jnp.float32))
+    elif name == "addtosaturation":
+        a = args if not isinstance(args, dict) else args.get("value",
+                                                             [-75, 75])
+        imgs = ph.add_to_hue_and_saturation(imgs,
+                                            jnp.zeros((b,), jnp.float32),
+                                            _sample(k, a, b))
+    elif name == "multiplyhue":
+        a = args if not isinstance(args, dict) else args.get("mul",
+                                                             [-3.0, 3.0])
+        imgs = ph.multiply_hue_and_saturation(imgs, _sample(k, a, b),
+                                              jnp.ones((b,), jnp.float32))
+    elif name == "multiplysaturation":
+        a = args if not isinstance(args, dict) else args.get("mul",
+                                                             [0.0, 3.0])
+        imgs = ph.multiply_hue_and_saturation(imgs,
+                                              jnp.ones((b,), jnp.float32),
+                                              _sample(k, a, b))
+    elif name == "removesaturation":
+        # imgaug RemoveSaturation(mul) == MultiplySaturation(1 - mul)
+        a = args if not isinstance(args, dict) else args.get("mul", 1.0)
+        imgs = ph.multiply_hue_and_saturation(
+            imgs, jnp.ones((b,), jnp.float32), 1.0 - _sample(k, a, b, 1.0))
     elif name in ("linearcontrast", "contrastnormalization"):
         a = args if not isinstance(args, dict) else args.get("alpha", 1.0)
         imgs = ph.linear_contrast(imgs, _sample(k, a, b, 1.0))
@@ -992,6 +1019,22 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         strength = _sample(k2, a.get("strength", [0.5, 1.5])
                            if isinstance(a, dict) else [0.5, 1.5], b)
         imgs = ph.emboss(imgs, alpha, strength)
+    elif name in ("dropout2d", "channeldropout"):
+        a = args or {}
+        if isinstance(a, (int, float, list, tuple)):
+            p_spec, nb_keep = a, 1
+        else:
+            p_spec = a.get("p", 0.1)
+            nb_keep = int(a.get("nb_keep_channels", 1))
+        k1, k2 = jax.random.split(k)
+        imgs = ph.dropout2d(k2, imgs, _sample(k1, p_spec, b, 0.1),
+                            nb_keep=nb_keep)
+    elif name == "totaldropout":
+        a = args if not isinstance(args, dict) else args.get("p", 1.0)
+        k1, k2 = jax.random.split(k)
+        imgs = ph.total_dropout(k2, imgs, _sample(k1, a, b, 1.0))
+    elif name in ("noop", "identity"):
+        pass
     elif name == "dropout":
         a = args if not isinstance(args, dict) else args.get("p", 0.05)
         k1, k2 = jax.random.split(k)

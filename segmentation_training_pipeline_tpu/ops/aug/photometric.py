@@ -873,3 +873,28 @@ def keep_size_pooling(images: Array, ksize: int, mode: str) -> Array:
                                        (1, k, k, 1), (1, k, k, 1), "SAME")
         red = red / counts
     return jax.image.resize(red, (b, h, w, c), "nearest")
+
+
+def dropout2d(rng: Array, images: Array, p: Array,
+              nb_keep: int = 1) -> Array:
+    """imgaug Dropout2d: zero ENTIRE channels with probability p per
+    channel, keeping at least ``nb_keep`` channels.  Deviation
+    (docs/schema.md): the protected channels are the ones with the
+    largest keep-draws (uniform among channels) rather than a separate
+    protection sample."""
+    b, _, _, c = images.shape
+    u = jax.random.uniform(rng, (b, c))
+    keep = u >= p[:, None]
+    if nb_keep > 0:
+        # resurrect the nb_keep highest draws — uniformly random channels,
+        # guaranteeing >= nb_keep survivors
+        kth = jnp.sort(u, axis=1)[:, c - nb_keep][:, None]
+        keep = keep | (u >= kth)
+    return images * keep[:, None, None, :].astype(jnp.float32)
+
+
+def total_dropout(rng: Array, images: Array, p: Array) -> Array:
+    """imgaug TotalDropout: zero the ENTIRE image with probability p."""
+    b = images.shape[0]
+    keep = (jax.random.uniform(rng, (b,)) >= p).astype(jnp.float32)
+    return images * keep[:, None, None, None]

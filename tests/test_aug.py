@@ -890,3 +890,74 @@ class TestBreadthNoisePooling:
     def test_pooling_rejects_nonstatic_k(self, bad):
         with pytest.raises(ValueError, match="static integer"):
             _run([("MaxPooling", bad)], _imgs(), _masks())
+
+
+class TestColorSugarsAndStructuredDropout:
+    """AddToHue/Saturation, MultiplyHue/Saturation, RemoveSaturation must
+    equal the joint op with the other axis at identity; Dropout2d /
+    TotalDropout / Noop semantics."""
+
+    def test_addtohue_equals_joint_with_zero_sat(self):
+        imgs, masks = _imgs(2, 16, 16), _masks(2, 16, 16)
+        a, _ = _run([("AddToHue", 40.0)], imgs, masks, seed=3)
+        # the joint op splits its key for (hue, sat); the sugar must hit
+        # the same values — compare against value_hue fixed, sat 0
+        b2, _ = _run([("AddToHueAndSaturation",
+                       {"value_hue": 40.0, "value_saturation": 0.0})],
+                     imgs, masks, seed=3)
+        np.testing.assert_allclose(a, b2, atol=2e-2)
+
+    def test_multiplysaturation_zero_is_grayscale(self):
+        imgs, masks = _imgs(1, 16, 16), _masks(1, 16, 16)
+        a, _ = _run([("MultiplySaturation", 0.0)], imgs, masks)
+        spread = a.max(axis=-1) - a.min(axis=-1)
+        assert spread.max() < 1.0  # zero saturation -> channels equal
+
+    def test_removesaturation_full_equals_multiplysat0(self):
+        imgs, masks = _imgs(1, 16, 16), _masks(1, 16, 16)
+        a, _ = _run([("RemoveSaturation", 1.0)], imgs, masks, seed=5)
+        b2, _ = _run([("MultiplySaturation", 0.0)], imgs, masks, seed=5)
+        np.testing.assert_allclose(a, b2, atol=1e-3)
+
+    def test_multiplyhue_identity(self):
+        imgs, masks = _imgs(1, 16, 16), _masks(1, 16, 16)
+        a, _ = _run([("MultiplyHue", 1.0)], imgs, masks)
+        np.testing.assert_allclose(a, imgs.astype(np.float32), atol=0.51)
+
+    def test_dropout2d_zeroes_whole_channels(self):
+        imgs = np.full((4, 16, 16, 3), 100, np.uint8)
+        oi, om = _run([("Dropout2d", {"p": 0.8, "nb_keep_channels": 1})],
+                      imgs, _masks(4, 16, 16), seed=2)
+        per_chan = oi.reshape(4, -1, 3)
+        for bi in range(4):
+            for ci in range(3):
+                vals = set(np.unique(per_chan[bi, :, ci]))
+                assert vals == {0.0} or vals == {100.0}, vals
+            # at least one channel survives (nb_keep_channels=1)
+            assert per_chan[bi].max() == 100.0
+        np.testing.assert_array_equal(om, _masks(4, 16, 16))
+
+    def test_channeldropout_alias(self):
+        imgs = _imgs(1, 8, 8)
+        a, _ = _run([("ChannelDropout", 0.5)], imgs, _masks(1, 8, 8), seed=7)
+        b2, _ = _run([("Dropout2d", 0.5)], imgs, _masks(1, 8, 8), seed=7)
+        np.testing.assert_allclose(a, b2, atol=1e-5)
+
+    def test_totaldropout_p1_zeroes_everything(self):
+        imgs = _imgs(2, 8, 8)
+        oi, om = _run([("TotalDropout", 1.0)], imgs, _masks(2, 8, 8))
+        assert np.abs(oi).max() == 0.0
+        np.testing.assert_array_equal(om, _masks(2, 8, 8))
+
+    def test_totaldropout_p0_identity(self):
+        imgs = _imgs(1, 8, 8)
+        oi, _ = _run([("TotalDropout", 0.0)], imgs, _masks(1, 8, 8))
+        np.testing.assert_allclose(oi, imgs.astype(np.float32), atol=1e-4)
+
+    def test_noop_and_identity(self):
+        imgs, masks = _imgs(1, 8, 8), _masks(1, 8, 8)
+        for nm in ("Noop", "Identity"):
+            oi, om = _run([(nm, None)], imgs, masks)
+            np.testing.assert_allclose(oi, imgs.astype(np.float32),
+                                       atol=1e-4)
+            np.testing.assert_array_equal(om, masks)
