@@ -59,12 +59,16 @@ def _elastic_joint_kernel(flags_ref, dy_ref, dx_ref, img_ref, out_ref, *,
     dy = jnp.clip(yy + dy_raw, 0.0, h - 1.0) - yy
     dx = jnp.clip(xx + dx_raw, 0.0, w - 1.0) - xx
 
+    # floor(f+0.5), not jnp.round: half-to-even rounds a .5 tie DOWN while
+    # the oracle's footprint convention (warp.py `fy >= 0.5`) takes the
+    # upper tap — caught on-chip by tools/tpu_smoke.py as a 1-pixel mask
+    # mismatch (round-4 smoke run)
     iy = jnp.floor(dy)
     fy = dy - iy
-    fy = jnp.where(is_near, jnp.round(fy), fy)
+    fy = jnp.where(is_near, jnp.floor(fy + 0.5), fy)
     ix = jnp.floor(dx)
     fx = dx - ix
-    fx = jnp.where(is_near, jnp.round(fx), fx)
+    fx = jnp.where(is_near, jnp.floor(fx + 0.5), fx)
 
     band = img_ref[0, 0, pl.ds(base, t + 2 * k + 1), :]
     row = jnp.zeros((t, w), jnp.float32)

@@ -40,6 +40,26 @@ class TestSingleAxisExact:
         assert float(jnp.abs(oi - pi).max()) < 1e-5
         assert float(jnp.abs(om - pm).max()) == 0.0
 
+    @pytest.mark.parametrize("axis", ["y", "x"])
+    def test_half_tie_rounds_like_oracle(self, data, axis):
+        """Displacements with an EXACT .5 fractional part: the oracle's
+        nearest convention (warp.py `f >= 0.5` → upper tap) must be
+        matched; jnp.round's half-to-even took the lower tap on even
+        floors — caught on-chip by tools/tpu_smoke.py round 4."""
+        img, msk = data
+        B, H, Wd = img.shape[0], img.shape[1], img.shape[2]
+        rng = np.random.RandomState(2)
+        # integer displacements in [-4, 3] plus exactly 0.5 everywhere:
+        # every pixel is a rounding tie, both even and odd floors
+        d = jnp.asarray(
+            rng.randint(-4, 4, (B, H, Wd)).astype(np.float32) + 0.5)
+        z = jnp.zeros_like(d)
+        dy, dx = (d, z) if axis == "y" else (z, d)
+        oi, om = W.warp_joint(img, msk, W.identity_mats(B), (dx, dy))
+        pi, pm = PE.warp_elastic_joint(img, msk, dy, dx, 6, interpret=True)
+        assert float(jnp.abs(oi - pi).max()) < 1e-5
+        assert float(jnp.abs(om - pm).max()) == 0.0
+
 
 class TestSmoothField:
     def test_realistic_elastic_close(self, data):
