@@ -162,9 +162,18 @@ def main():
                         meta={"done": True})
         bundle = InferenceBundle(icfg, folds=[0], stage=0)
         ib = int(os.environ.get("BENCH_INFER_BATCH", "64"))
-        imgs = _jax.device_put(
-            rng.randint(0, 255, (ib, H, W, 3), dtype=np.uint8))
-        fv = _jax.device_put(bundle.fold_vars[0])
+        raw = rng.randint(0, 255, (ib, H, W, 3), dtype=np.uint8)
+        if bundle.mesh is not None:
+            # multi-device host: feed pre-sharded batches and the bundle's
+            # already-replicated weights (a bare device_put would commit
+            # them to device 0 and fight the program's in_shardings)
+            from segmentation_training_pipeline_tpu.parallel.mesh import (
+                batch_sharding)
+            imgs = _jax.device_put(raw, batch_sharding(bundle.mesh))
+            fv = bundle.fold_vars[0]
+        else:
+            imgs = _jax.device_put(raw)
+            fv = _jax.device_put(bundle.fold_vars[0])
         for _ in range(WARMUP):
             p = bundle._predict(fv, imgs)
         float(_jax.device_get(p[0, 0, 0, 0]))
@@ -173,17 +182,18 @@ def main():
             p = bundle._predict(fv, imgs)
         float(_jax.device_get(p[0, 0, 0, 0]))
         dt = time.perf_counter() - t0
-        # the bundle's predict program and batch are single-device (not
-        # sharded), so per-chip throughput divides by 1 regardless of how
-        # many chips the host exposes (ADVICE r2)
-        ips = ib * STEPS / dt
-        # renamed from ..._per_chip_... when the divisor became 1 (ADVICE
-        # r2): the program runs on ONE device, so the old name would show
-        # a phantom n_chips-fold jump on multi-chip hosts (review r3)
+        # the bundle data-shards its predict program over all local devices
+        # when the host has >1 (round 4); divide by the mesh size so the
+        # metric stays per-chip and comparable to the 1-chip rounds.  On
+        # this 1-chip host mesh is None and the divisor is 1, matching the
+        # r2/r3 "single device" numbers exactly.
+        n_dev = int(bundle.mesh.devices.size) if bundle.mesh is not None else 1
+        ips = ib * STEPS / dt / n_dev
         print(json.dumps({
             "metric": "predict_fliptta_images_per_sec_unet_resnet34_512",
             "value": round(ips, 2),
-            "unit": "images/sec (single device)",
+            "unit": ("images/sec (single device)" if n_dev == 1
+                     else f"images/sec/chip ({n_dev}-device mesh)"),
             "vs_baseline": round(ips / 75.0, 3),
         }))
         return

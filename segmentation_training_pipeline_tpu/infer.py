@@ -64,6 +64,24 @@ class InferenceBundle:
             load_checkpoint(cfg.weights_path(f, self.stage), template)
             for f in self.folds
         ]
+        # Data-sharded serving: a single-process host with >1 local device
+        # (a v5e-8 serving host, or the 8-device virtual CPU mesh in tests)
+        # runs ONE predict program with the batch sharded over a
+        # data-parallel mesh — params replicated, N split over ICI, zero
+        # change to the program body (GSPMD inserts nothing for an
+        # embarrassingly-parallel forward).  Degenerates to plain jit on a
+        # 1-device host; multi-process fits keep per-process single-device
+        # predict (CLI prediction is primary-only).
+        self.mesh = None
+        if jax.process_count() == 1 and len(jax.devices()) > 1:
+            from .parallel.mesh import MeshSpec, build_mesh, replicated
+
+            self.mesh = build_mesh(MeshSpec(data=len(jax.devices()),
+                                            space=1))
+            rep = replicated(self.mesh)
+            # weights ride to every device ONCE here, not per predict call
+            self.fold_vars = [jax.device_put(v, rep)
+                              for v in self.fold_vars]
         self._predict = self._build()
 
     def _build(self):
@@ -115,15 +133,35 @@ class InferenceBundle:
                 p = acc / 8.0
             return p
 
+        if self.mesh is not None:
+            from .parallel.mesh import batch_sharding, replicated
+
+            return jax.jit(
+                _step,
+                in_shardings=(replicated(self.mesh),
+                              batch_sharding(self.mesh)),
+                out_shardings=batch_sharding(self.mesh))
         return jax.jit(_step)
 
     def predict_probs(self, images_u8: np.ndarray) -> np.ndarray:
-        """(B, H, W, C) uint8 at config shape → fold-ensembled probs (f32)."""
+        """(B, H, W, C) uint8 at config shape → fold-ensembled probs (f32).
+
+        Under the data-sharded mesh the batch is zero-padded up to a
+        multiple of the device count (padded rows sliced off the result) —
+        callers chunk at a fixed batch size, so at most one extra program
+        shape compiles."""
+        n = int(images_u8.shape[0])
+        nd = int(self.mesh.devices.size) if self.mesh is not None else 1
+        if n % nd:
+            images_u8 = np.concatenate([
+                np.asarray(images_u8),
+                np.zeros((nd - n % nd, *images_u8.shape[1:]),
+                         np.asarray(images_u8).dtype)])
         acc = None
         for variables in self.fold_vars:
             p = self._predict(variables, images_u8)
             acc = p if acc is None else acc + p
-        return np.asarray(acc / len(self.fold_vars), dtype=np.float32)
+        return np.asarray(acc / len(self.fold_vars), dtype=np.float32)[:n]
 
 
 def _resolve_folds(cfg: PipelineConfig, folds, stage: int) -> List[int]:

@@ -77,6 +77,45 @@ class TestPredict:
         assert tta.shape == plain.shape
         assert np.abs(tta - plain).mean() < 0.2  # same model, averaged views
 
+    def test_predict_is_data_sharded_on_multidevice_host(self, trained2):
+        """Single-process multi-device host: the bundle must build a
+        data-parallel mesh, shard predict over it, pad a non-divisible
+        batch internally, and match the unsharded program exactly (same
+        weights, same math — GSPMD only splits N)."""
+        cfg, ds, tmp = trained2
+        import jax
+
+        from segmentation_training_pipeline_tpu.data.batcher import (
+            prepare_image)
+        from segmentation_training_pipeline_tpu.infer import InferenceBundle
+
+        nd = len(jax.devices())
+        assert nd == 8, "conftest should expose the 8-device CPU mesh"
+        bundle = InferenceBundle(cfg, [0], 0, tta=None)
+        assert bundle.mesh is not None
+        assert bundle.mesh.devices.size == nd
+        # weights were replicated at build time, not shipped per call
+        leaf = jax.tree.leaves(bundle.fold_vars[0])[0]
+        assert len(leaf.sharding.device_set) == nd
+
+        # n=6 is NOT divisible by 8 — exercises the internal padding
+        imgs = np.stack([prepare_image(ds[i].x, cfg.shape) for i in range(6)])
+        sharded = bundle.predict_probs(imgs)
+        assert sharded.shape == (6, 32, 32, 1)
+
+        # oracle: the same variables through an unsharded apply
+        from segmentation_training_pipeline_tpu.models.factory import (
+            apply_activation)
+        from segmentation_training_pipeline_tpu.ops.preprocess import (
+            preprocess)
+
+        x = preprocess(jax.device_put(imgs, jax.devices()[0]),
+                       cfg.preprocessing or "tf", bundle.model.dtype)
+        ref = apply_activation(
+            bundle.model.apply(jax.device_get(bundle.fold_vars[0]), x,
+                               train=False), cfg.activation)
+        np.testing.assert_allclose(sharded, np.asarray(ref), atol=1e-5)
+
     def test_missing_checkpoint_raises(self, trained2):
         cfg, ds, tmp = trained2
         from segmentation_training_pipeline_tpu.infer import InferenceBundle
