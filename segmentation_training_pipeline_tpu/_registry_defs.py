@@ -150,6 +150,15 @@ for name, aliases in [
     ("Sometimes", ()),
     ("SomeOf", ()),
     ("OneOf", ()),
+    # blend combinators (imgaug BlendAlpha family; pre-0.4 alias names)
+    ("BlendAlpha", ("Alpha",)),
+    ("BlendAlphaElementwise", ("AlphaElementwise",)),
+    ("BlendAlphaVerticalLinearGradient", ()),
+    ("BlendAlphaHorizontalLinearGradient", ()),
+    ("BlendAlphaRegularGrid", ()),
+    ("BlendAlphaCheckerboard", ()),
+    ("BlendAlphaSimplexNoise", ("SimplexNoiseAlpha",)),
+    ("BlendAlphaFrequencyNoise", ("FrequencyNoiseAlpha",)),
 ]:
     AUGMENTERS.register(name, name, aliases=aliases)
 

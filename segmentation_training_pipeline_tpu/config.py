@@ -205,8 +205,23 @@ _KNOWN_UNSUPPORTED_AUGMENTERS = frozenset({
     "AveragePool", "ElasticTransformationApprox", "PadToFixedSize",
     "CenterCropToFixedSize", "Lambda", "AssertShape", "AssertLambda",
     "RelativeRegularGridVoronoi",
+    # blend mask generators that need data-dependent inputs (color
+    # clustering / arbitrary user masks); the 8 core BlendAlpha* variants
+    # ARE lowered (see the augmenter registry)
+    "BlendAlphaSomeColors", "BlendAlphaMask", "BlendAlphaSegMapClassIds",
+    "BlendAlphaBoundingBoxes",
 })
-_UNSUPPORTED_AUG_PREFIXES = ("BlendAlpha", "pillike", "imgcorruptlike")
+_UNSUPPORTED_AUG_PREFIXES = ("pillike", "imgcorruptlike")
+
+# lowercase names of the lowered BlendAlpha family (incl. imgaug pre-0.4
+# aliases) — their child blocks get recursive parse-time validation
+_BLEND_AUG_NAMES = frozenset({
+    "blendalpha", "alpha", "blendalphaelementwise", "alphaelementwise",
+    "blendalphaverticallineargradient", "blendalphahorizontallineargradient",
+    "blendalpharegulargrid", "blendalphacheckerboard",
+    "blendalphasimplexnoise", "simplexnoisealpha",
+    "blendalphafrequencynoise", "frequencynoisealpha",
+})
 
 
 def _normalize_augmentation(spec) -> List[Dict[str, Any]]:
@@ -273,6 +288,22 @@ def _normalize_augmentation(spec) -> List[Dict[str, Any]]:
                 _normalize_augmentation(e if isinstance(e, (dict, list))
                                         else [e])
                 for e in args["children"]]
+        elif low in _BLEND_AUG_NAMES:
+            if not isinstance(args, dict):
+                raise ConfigError(
+                    f"{name} expects {{foreground: {{...}}, ...}}, got "
+                    f"{args!r}")
+            args = dict(args)
+            fg = args.pop("foreground", None) or args.pop("first", None)
+            bg = args.pop("background", None) or args.pop("second", None)
+            if fg is None and bg is None:
+                raise ConfigError(
+                    f"{name} needs a foreground (or background) child "
+                    "augmenter block")
+            if fg is not None:
+                args["foreground"] = _normalize_augmentation(fg)
+            if bg is not None:
+                args["background"] = _normalize_augmentation(bg)
         out.append({"name": name, "args": args})
     return out
 

@@ -49,7 +49,19 @@ _GEOMETRIC = {"fliplr", "horizontalflip", "flipud", "verticalflip", "rot90",
               "elastictransformation", "elastictransform", "elastic",
               "piecewiseaffine", "perspectivetransform"}
 
-_META = {"sometimes", "someof", "oneof"}
+# BlendAlpha family (imgaug blend combinators; pre-0.4 names Alpha /
+# AlphaElementwise / SimplexNoiseAlpha / FrequencyNoiseAlpha are aliases).
+# Lowered like meta-augmenters: child pipelines built recursively, the two
+# branch outputs mixed by a per-image / per-pixel alpha map.
+_BLEND = {"blendalpha", "alpha",
+          "blendalphaelementwise", "alphaelementwise",
+          "blendalphaverticallineargradient",
+          "blendalphahorizontallineargradient",
+          "blendalpharegulargrid", "blendalphacheckerboard",
+          "blendalphasimplexnoise", "simplexnoisealpha",
+          "blendalphafrequencynoise", "frequencynoisealpha"}
+
+_META = {"sometimes", "someof", "oneof"} | _BLEND
 
 
 
@@ -744,6 +756,183 @@ def _static_bounds(spec, default) -> Tuple[float, float]:
     return min(vals), max(vals)
 
 
+def _sample_shape(rng: Array, spec: Any, shape: Tuple[int, ...],
+                  default: float = 0.0) -> Array:
+    """`_sample` generalized to an arbitrary static sample shape (used for
+    per-pixel / per-cell alpha maps)."""
+    if spec is None:
+        return jnp.full(shape, default, jnp.float32)
+    if isinstance(spec, (int, float)):
+        return jnp.full(shape, float(spec), jnp.float32)
+    if isinstance(spec, (list, tuple)):
+        vals = [float(v) for v in spec]
+        if len(vals) == 2:
+            return jax.random.uniform(rng, shape, minval=vals[0],
+                                      maxval=vals[1])
+        arr = jnp.asarray(vals, jnp.float32)
+        idx = jax.random.randint(rng, shape, 0, len(vals))
+        return arr[idx]
+    raise ValueError(f"cannot lower augmentation parameter {spec!r}")
+
+
+def _sample_int(rng: Array, spec: Any, b: int,
+                default: int) -> Tuple[Array, int]:
+    """Integer spec → ((B,) int32 samples, static max).  int = fixed,
+    [lo, hi] = inclusive uniform range (imgaug tuple), longer list =
+    choice."""
+    if spec is None:
+        spec = default
+    if isinstance(spec, (int, float)):
+        v = int(spec)
+        return jnp.full((b,), v, jnp.int32), v
+    vals = [int(v) for v in spec]
+    if len(vals) == 2:
+        lo, hi = min(vals), max(vals)
+        return jax.random.randint(rng, (b,), lo, hi + 1), hi
+    arr = jnp.asarray(vals, jnp.int32)
+    idx = jax.random.randint(rng, (b,), 0, len(vals))
+    return arr[idx], max(vals)
+
+
+_BLEND_CANON = {"alpha": "blendalpha",
+                "alphaelementwise": "blendalphaelementwise",
+                "simplexnoisealpha": "blendalphasimplexnoise",
+                "frequencynoisealpha": "blendalphafrequencynoise"}
+
+
+def _blend_alpha_map(name: str, a: Dict[str, Any], k: Array, b: int, h: int,
+                     w: int, c: int, per_ch: bool) -> Array:
+    """The per-variant alpha map in [0, 1], broadcastable to (B, H, W, C).
+
+    imgaug mask-generator semantics (docs/schema.md lists deviations):
+      * BlendAlpha: one factor per image (per_channel → per channel).
+      * BlendAlphaElementwise: factor sampled per pixel.
+      * *LinearGradient: min_value→max_value between start_at/end_at
+        (fractions of the axis), clipped outside.
+      * RegularGrid: nb_rows×nb_cols cells, per-cell alpha (default a fair
+        0/1 coin, imgaug's `alpha=[0.0, 1.0]` choice); lowered gather-free
+        as two one-hot matmuls against the (B, R, C) cell grid.
+      * Checkerboard: same grid, alpha alternates 1/0 from the top-left.
+      * SimplexNoise: blob masks from 4 fixed octaves (2..16 px) of
+        bilinearly-upsampled uniform value noise, max-aggregated +
+        sigmoid-sharpened (documented deviation: value noise approximates
+        the reference's simplex noise; same blob statistics).
+      * FrequencyNoise: white noise shaped by f^exponent in the Fourier
+        domain (XLA FFT), min-max normalized per image.
+    """
+    if name == "blendalpha":
+        spec = a.get("factor", a.get("alpha"))
+        if spec is None:
+            spec = [0.0, 1.0]
+        if per_ch:
+            return _sample_shape(k, spec, (b, 1, 1, c))
+        return _sample_shape(k, spec, (b,))[:, None, None, None]
+    if name == "blendalphaelementwise":
+        spec = a.get("factor", a.get("alpha"))
+        if spec is None:
+            spec = [0.0, 1.0]
+        shape = (b, h, w, c) if per_ch else (b, h, w, 1)
+        return _sample_shape(k, spec, shape)
+    if name in ("blendalphaverticallineargradient",
+                "blendalphahorizontallineargradient"):
+        vertical = "vertical" in name
+        k1, k2 = jax.random.split(k)
+        mn = float(a.get("min_value", 0.0))
+        mx = float(a.get("max_value", 1.0))
+        n = h if vertical else w
+        s0 = _sample(k1, a.get("start_at", [0.0, 1.0]), b)
+        e0 = _sample(k2, a.get("end_at", [0.0, 1.0]), b)
+        pos = jnp.linspace(0.0, 1.0, n)[None, :]
+        d = e0 - s0
+        d = jnp.where(jnp.abs(d) < 1e-6, jnp.where(d < 0, -1e-6, 1e-6), d)
+        t = jnp.clip((pos - s0[:, None]) / d[:, None], 0.0, 1.0)
+        al = mn + (mx - mn) * t                       # (B, n)
+        return al[:, :, None, None] if vertical else al[:, None, :, None]
+    if name in ("blendalpharegulargrid", "blendalphacheckerboard"):
+        kr, kc, kg = jax.random.split(k, 3)
+        rs, rmax = _sample_int(kr, a.get("nb_rows"), b, 4)
+        cs, cmax = _sample_int(kc, a.get("nb_cols"), b, 4)
+        iy = (jnp.arange(h)[None, :] * rs[:, None]) // h      # (B, H) cell row
+        ix = (jnp.arange(w)[None, :] * cs[:, None]) // w      # (B, W) cell col
+        if name == "blendalphacheckerboard":
+            al = ((iy[:, :, None] + ix[:, None, :]) % 2 == 0)
+            return al.astype(jnp.float32)[..., None]
+        spec = a.get("alpha")
+        if spec is None:
+            grid = jax.random.bernoulli(kg, 0.5,
+                                        (b, rmax, cmax)).astype(jnp.float32)
+        else:
+            grid = _sample_shape(kg, spec, (b, rmax, cmax))
+        ohy = (iy[:, :, None] == jnp.arange(rmax)[None, None, :])
+        ohx = (ix[:, :, None] == jnp.arange(cmax)[None, None, :])
+        al = jnp.einsum("bhr,brc,bwc->bhw", ohy.astype(jnp.float32), grid,
+                        ohx.astype(jnp.float32))
+        return al[..., None]
+    if name == "blendalphasimplexnoise":
+        ks = jax.random.split(k, 5)
+        octs = []
+        for kk, s0 in zip(ks[:4], (2, 4, 8, 16)):
+            g = jax.random.uniform(kk, (b, s0, s0))
+            octs.append(jax.image.resize(g, (b, h, w), "linear"))
+        noise = jnp.stack(octs).max(axis=0)
+        if a.get("sigmoid", True):
+            th = _sample(ks[4], a.get("sigmoid_thresh", [0.4, 0.6]), b)
+            noise = jax.nn.sigmoid(10.0 * (noise - th[:, None, None]))
+        return noise[..., None]
+    if name == "blendalphafrequencynoise":
+        ke, kn, kt = jax.random.split(k, 3)
+        exp = _sample(ke, a.get("exponent", [-4.0, 4.0]), b)
+        white = jax.random.normal(kn, (b, h, w))
+        spec2 = jnp.fft.rfft2(white)
+        fy = jnp.fft.fftfreq(h)[:, None]
+        fx = jnp.fft.rfftfreq(w)[None, :]
+        f = jnp.sqrt(fy * fy + fx * fx)
+        f = jnp.where(f == 0, 1.0 / max(h, w), f)
+        scale = f[None, :, :] ** exp[:, None, None]
+        noise = jnp.fft.irfft2(spec2 * scale, s=(h, w))
+        lo = noise.min(axis=(1, 2), keepdims=True)
+        hi = noise.max(axis=(1, 2), keepdims=True)
+        al = (noise - lo) / jnp.maximum(hi - lo, 1e-6)
+        if a.get("sigmoid", True):
+            th = _sample(kt, a.get("sigmoid_thresh", [0.4, 0.6]), b)
+            al = jax.nn.sigmoid(10.0 * (al - th[:, None, None]))
+        return al[..., None]
+    raise KeyError(f"blend augmenter {name!r} has no lowering")
+
+
+def _make_blend(s: Dict[str, Any]) -> Callable:
+    """BlendAlpha* lowering: ``alpha·foreground(x) + (1−alpha)·background(x)``
+    for images; masks take whichever branch's alpha is ≥ 0.5 (imgaug's
+    segmentation-map blend rule — per image for BlendAlpha, per pixel for
+    the spatial mask generators)."""
+    name = _BLEND_CANON.get(s["name"].lower(), s["name"].lower())
+    raw = s.get("args")
+    a = dict(raw) if isinstance(raw, dict) else {}
+    fg_spec = a.get("foreground") or a.get("first")
+    bg_spec = a.get("background") or a.get("second")
+    fg = build_augmentation(_coerce_block(fg_spec)) if fg_spec else None
+    bg = build_augmentation(_coerce_block(bg_spec)) if bg_spec else None
+    if fg is None and bg is None:
+        raise ValueError(
+            f"{s['name']} needs a foreground (or background) child "
+            "augmenter block")
+    per_ch = bool(a.get("per_channel", False))
+
+    def fn(k: Array, imgs: Array, masks: Array):
+        b, h, w, c = imgs.shape
+        kf, kb, ka = jax.random.split(k, 3)
+        base_i = jnp.clip(imgs.astype(jnp.float32), 0.0, 255.0)
+        fi, fm = fg(kf, imgs, masks) if fg else (base_i, masks)
+        bi, bm = bg(kb, imgs, masks) if bg else (base_i, masks)
+        al = _blend_alpha_map(name, a, ka, b, h, w, c, per_ch)
+        out_i = al * fi + (1.0 - al) * bi
+        am = al.mean(axis=-1, keepdims=True) if al.shape[-1] != 1 else al
+        out_m = jnp.where(am >= 0.5, fm, bm)
+        return out_i, out_m
+
+    return fn
+
+
 def _make_meta(s: Dict[str, Any]) -> Callable:
     """Sometimes / OneOf / SomeOf meta-augmenters (imgaug semantics):
     child pipelines are built recursively; per-image selection is a
@@ -752,6 +941,9 @@ def _make_meta(s: Dict[str, Any]) -> Callable:
     random_order=False)."""
     name = s["name"].lower()
     args = s.get("args")
+
+    if name in _BLEND:
+        return _make_blend(s)
 
     if name == "sometimes":
         a = args if isinstance(args, dict) else {}
