@@ -273,6 +273,10 @@ def _normalize_augmentation(spec) -> List[Dict[str, Any]]:
             args = dict(args)
             child = args.pop("then", None) or args.pop("children", None)
             args["then"] = _normalize_augmentation(child)
+            els = (args.pop("else", None) or args.pop("else_list", None)
+                   or args.pop("otherwise", None))
+            if els is not None:
+                args["else"] = _normalize_augmentation(els)
         elif low == "oneof":
             if not isinstance(args, list) or not args:
                 raise ConfigError(

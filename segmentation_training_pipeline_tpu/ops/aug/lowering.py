@@ -340,6 +340,29 @@ def _piecewise_field(k: Array, b: int, h: int, w: int, scale: Array,
 def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
     """One contiguous run of geometric augmenters → ONE fused warp."""
 
+    # imgaug fill-value support: Affine/Crop-family `cval` (CropAndPad/Pad
+    # also accept imgaug's `pad_cval`).  The fused warp fills with 0 by
+    # construction, so a non-zero cval is applied as warp(img − cval) + cval
+    # — exact for constant fill, including the bilinear edge blend (imgaug
+    # blends content with cval at partial-coverage border pixels the same
+    # way).  One fused warp has ONE fill region, so with several cval
+    # specs in a run the LAST wins (documented in schema.md).  Only
+    # mode='constant' is supported; imgaug's edge/reflect/wrap modes would
+    # need per-mode samplers in every warp path.
+    _cval_spec = None
+    for _s in geo:
+        _a = _s.get("args")
+        if isinstance(_a, dict):
+            _md = _a.get("mode")
+            if _md not in (None, "constant"):
+                raise ValueError(
+                    f"{_s['name']}: only mode='constant' fill is supported "
+                    f"(got {_md!r}); imgaug's edge/reflect/wrap border "
+                    "modes are not lowered — see docs/schema.md")
+            _cv = _a.get("cval", _a.get("pad_cval"))
+            if _cv is not None:
+                _cval_spec = _cv
+
     # fast path: flips/rot90 only → no warp gather at all (rot90 on
     # non-square images still needs the resizing warp, so square-only)
     def _cheap_ok(shape_square: bool) -> bool:
@@ -676,6 +699,13 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                 disp = ((dx, dy) if disp is None
                         else (disp[0] + dx, disp[1] + dy))
 
+        cv = None
+        if _cval_spec is not None and geo:
+            # keys[-1] is unused on the warp path (the cheap path consumed
+            # it above and returned)
+            cv = _sample(keys[-1], _cval_spec, b, 0.0)[:, None, None, None]
+            images = images - cv
+
         imgs = images
         if geo:
             # K bound for the Pallas elastic kernel: static 6-sigma field
@@ -731,8 +761,13 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                 # non-square frames with >=90-deg rotations, or CPU; u8
                 # taps are lossless only for integer-valued inputs (the
                 # first segment — later runs may follow photometrics)
-                imgs, masks = W.warp_joint(imgs, masks, mats, disp,
-                                           gather_u8=integer_input)
+                # the cval shift makes values non-integer/negative — the
+                # u8 tap packing is only valid without it
+                imgs, masks = W.warp_joint(
+                    imgs, masks, mats, disp,
+                    gather_u8=integer_input and cv is None)
+        if cv is not None:
+            imgs = imgs + cv
         return imgs, masks
 
     return run
@@ -950,10 +985,16 @@ def _make_meta(s: Dict[str, Any]) -> Callable:
         p = float(a.get("p", 0.5))
         child = build_augmentation(_coerce_block(
             a.get("then") or a.get("then_list") or a.get("children")))
+        else_spec = (a.get("else") or a.get("else_list")
+                     or a.get("otherwise"))
+        child_else = (build_augmentation(_coerce_block(else_spec))
+                      if else_spec else None)
 
         def fn(k: Array, imgs: Array, masks: Array):
-            k1, k2 = jax.random.split(k)
+            k1, k2, k3 = jax.random.split(k, 3)
             out_i, out_m = child(k2, imgs, masks)
+            if child_else is not None:
+                imgs, masks = child_else(k3, imgs, masks)
             sel = jax.random.bernoulli(k1, p, (imgs.shape[0],))
             sel4 = sel[:, None, None, None]
             return (jnp.where(sel4, out_i, imgs),
@@ -1240,6 +1281,18 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         k1, k2 = jax.random.split(k)
         fn = ph.salt if name == "salt" else ph.pepper
         imgs = fn(k2, imgs, _sample(k1, a, b, 0.05))
+    elif name == "replaceelementwise":
+        # imgaug ReplaceElementwise(mask, replacement): `mask` is the
+        # per-pixel Bernoulli probability (sampled per image from the
+        # spec), `replacement` the value drawn per replaced pixel.
+        # Salt/Pepper/SaltAndPepper are its fixed-value special cases.
+        a = args if isinstance(args, dict) else {"mask": args}
+        k1, k2, k3 = jax.random.split(k, 3)
+        p = _sample(k1, a.get("mask", 0.05), b)
+        shape = imgs.shape if per_ch else imgs.shape[:3] + (1,)
+        sel = jax.random.uniform(k2, shape) < p[:, None, None, None]
+        rep = _sample_shape(k3, a.get("replacement", [0.0, 255.0]), shape)
+        imgs = jnp.where(sel, rep, imgs)
     elif name == "impulsenoise":
         a = args if not isinstance(args, dict) else args.get("p", 0.05)
         k1, k2 = jax.random.split(k)
