@@ -139,6 +139,7 @@ for name, aliases in [
     ("ShearY", ()),
     ("AddElementwise", ()),
     ("MultiplyElementwise", ()),
+    ("ReplaceElementwise", ()),
     ("Autocontrast", ("AutoContrast",)),
     ("Clouds", ()),
     ("Fog", ()),
@@ -150,6 +151,7 @@ for name, aliases in [
     ("Sometimes", ()),
     ("SomeOf", ()),
     ("OneOf", ()),
+    ("WithChannels", ()),
     # blend combinators (imgaug BlendAlpha family; pre-0.4 alias names)
     ("BlendAlpha", ("Alpha",)),
     ("BlendAlphaElementwise", ("AlphaElementwise",)),

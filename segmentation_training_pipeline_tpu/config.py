@@ -292,6 +292,14 @@ def _normalize_augmentation(spec) -> List[Dict[str, Any]]:
                 _normalize_augmentation(e if isinstance(e, (dict, list))
                                         else [e])
                 for e in args["children"]]
+        elif low == "withchannels":
+            if not isinstance(args, dict) or "channels" not in args:
+                raise ConfigError(
+                    f"WithChannels expects {{channels: [...], children: "
+                    f"{{...}}}}, got {args!r}")
+            args = dict(args)
+            child = args.pop("children", None) or args.pop("then", None)
+            args["children"] = _normalize_augmentation(child)
         elif low in _BLEND_AUG_NAMES:
             if not isinstance(args, dict):
                 raise ConfigError(

@@ -61,7 +61,7 @@ _BLEND = {"blendalpha", "alpha",
           "blendalphasimplexnoise", "simplexnoisealpha",
           "blendalphafrequencynoise", "frequencynoisealpha"}
 
-_META = {"sometimes", "someof", "oneof"} | _BLEND
+_META = {"sometimes", "someof", "oneof", "withchannels"} | _BLEND
 
 
 
@@ -442,17 +442,25 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                         smax = max(abs(float(v)) for v in flat)
                         mag *= 1.0 + math.tan(math.radians(min(smax, 80.0)))
                 elif name == "crop":
-                    pct = _percent_arg(a, [0, 0.1])
-                    vals = pct if isinstance(pct, (list, tuple)) else [pct]
-                    pmax = max(float(v) for v in vals)
-                    mag *= 1.0 / max(1.0 - 2.0 * pmax, 0.1)
+                    if isinstance(a, dict) and "px" in a:
+                        mag *= 4.0  # px/dim unknown statically: conservative
+                    else:
+                        pct = _percent_arg(a, [0, 0.1])
+                        vals = (pct if isinstance(pct, (list, tuple))
+                                else [pct])
+                        pmax = max(float(v) for v in vals)
+                        mag *= 1.0 / max(1.0 - 2.0 * pmax, 0.1)
                 elif name in ("cropandpad", "pad"):
-                    # negative percent crops (zoom-in magnifies disp)
-                    pct = _percent_arg(a, [0, 0.1])
-                    vals = pct if isinstance(pct, (list, tuple)) else [pct]
-                    pmin = min(float(v) for v in vals)
-                    if pmin < 0:
-                        mag *= 1.0 / max(1.0 + 2.0 * pmin, 0.1)
+                    if isinstance(a, dict) and "px" in a:
+                        mag *= 4.0
+                    else:
+                        # negative percent crops (zoom-in magnifies disp)
+                        pct = _percent_arg(a, [0, 0.1])
+                        vals = (pct if isinstance(pct, (list, tuple))
+                                else [pct])
+                        pmin = min(float(v) for v in vals)
+                        if pmin < 0:
+                            mag *= 1.0 / max(1.0 + 2.0 * pmin, 0.1)
                 elif name in ("croptofixedsize", "randomcrop"):
                     # zoom factor known only relative to the input shape;
                     # bounded inside aug_fn where h/w are known — use a
@@ -510,6 +518,11 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                         else:
                             aniso *= hi / lo
                 elif name in ("crop", "cropandpad", "pad"):
+                    if isinstance(a, dict) and "px" in a:
+                        # px/dim unknown at build time — conservative
+                        # anisotropy allowance (harmless when tan == 0)
+                        aniso *= 4.0
+                        continue
                     # per-side fractions sample independently → the x/y
                     # scale factors differ within the percent range
                     pct = _percent_arg(a, [0, 0.1])
@@ -609,12 +622,20 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                     jnp.zeros_like(shy)
                 mats = W.compose(W.shear_about(cx, cy, shx, shy), mats)
             elif name in ("crop",):
-                pct = _percent_arg(args, [0, 0.1])
                 k1, k2, k3, k4 = jax.random.split(k, 4)
-                left = _sample(k1, pct, b, 0.0)
-                right = _sample(k2, pct, b, 0.0)
-                top = _sample(k3, pct, b, 0.0)
-                bot = _sample(k4, pct, b, 0.0)
+                if isinstance(args, dict) and "px" in args:
+                    # imgaug px form: absolute per-side pixels → fractions
+                    px = args["px"]
+                    left = _sample(k1, px, b, 0.0) / w
+                    right = _sample(k2, px, b, 0.0) / w
+                    top = _sample(k3, px, b, 0.0) / h
+                    bot = _sample(k4, px, b, 0.0) / h
+                else:
+                    pct = _percent_arg(args, [0, 0.1])
+                    left = _sample(k1, pct, b, 0.0)
+                    right = _sample(k2, pct, b, 0.0)
+                    top = _sample(k3, pct, b, 0.0)
+                    bot = _sample(k4, pct, b, 0.0)
                 m = W.identity_mats(b)
                 m = m.at[:, 0, 0].set(1.0 - left - right)
                 m = m.at[:, 1, 1].set(1.0 - top - bot)
@@ -626,12 +647,19 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                 # fraction — POSITIVE pads (source window grows beyond
                 # the frame, fill outside), NEGATIVE crops; Pad is the
                 # non-negative variant.  src = (1+pl+pr)·x − pl·w.
-                pct = _percent_arg(args, [0, 0.1])
                 k1, k2, k3, k4 = jax.random.split(k, 4)
-                left = _sample(k1, pct, b, 0.0)
-                right = _sample(k2, pct, b, 0.0)
-                top = _sample(k3, pct, b, 0.0)
-                bot = _sample(k4, pct, b, 0.0)
+                if isinstance(args, dict) and "px" in args:
+                    px = args["px"]
+                    left = _sample(k1, px, b, 0.0) / w
+                    right = _sample(k2, px, b, 0.0) / w
+                    top = _sample(k3, px, b, 0.0) / h
+                    bot = _sample(k4, px, b, 0.0) / h
+                else:
+                    pct = _percent_arg(args, [0, 0.1])
+                    left = _sample(k1, pct, b, 0.0)
+                    right = _sample(k2, pct, b, 0.0)
+                    top = _sample(k3, pct, b, 0.0)
+                    bot = _sample(k4, pct, b, 0.0)
                 if name == "pad":
                     left = jnp.maximum(left, 0.0)
                     right = jnp.maximum(right, 0.0)
@@ -979,6 +1007,43 @@ def _make_meta(s: Dict[str, Any]) -> Callable:
 
     if name in _BLEND:
         return _make_blend(s)
+
+    if name == "withchannels":
+        # imgaug WithChannels(channels, children): children see only the
+        # selected channels.  Lowered as run-children-on-the-full-image
+        # then splice the selected channels back — identical for
+        # channelwise photometrics (the sane use).  Geometric /
+        # displacement children are rejected (they would desynchronize
+        # the spliced channels spatially AND the segmentation mask);
+        # channel-MIXING photometrics (Grayscale, HSV ops, ChannelShuffle)
+        # see all channels here where imgaug's would see the subset —
+        # documented in schema.md.
+        a = args if isinstance(args, dict) else {}
+        chans = a.get("channels")
+        if chans is None:
+            raise ValueError("WithChannels needs {channels: [...], "
+                             "children: {...}}")
+        idx = [int(c) for c in (chans if isinstance(chans, (list, tuple))
+                                else [chans])]
+        child_spec = _coerce_block(a.get("children") or a.get("then"))
+        for e in child_spec:
+            nm = e["name"].lower()
+            if nm in _GEOMETRIC or nm in _META:
+                raise ValueError(
+                    f"WithChannels child {e['name']!r}: only photometric "
+                    "children are supported (geometric ones would warp "
+                    "the selected channels away from the mask)")
+        child = build_augmentation(child_spec)
+
+        def fn(k: Array, imgs: Array, masks: Array):
+            out_i, _ = child(k, imgs, masks)
+            base = jnp.clip(imgs.astype(jnp.float32), 0.0, 255.0)
+            sel = np.zeros((imgs.shape[-1],), bool)
+            sel[idx] = True
+            return jnp.where(jnp.asarray(sel)[None, None, None, :], out_i,
+                             base), masks
+
+        return fn
 
     if name == "sometimes":
         a = args if isinstance(args, dict) else {}
