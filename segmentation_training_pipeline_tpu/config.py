@@ -202,8 +202,8 @@ _KNOWN_UNSUPPORTED_AUGMENTERS = frozenset({
     "MeanShiftBlur", "DirectedEdgeDetect", "FastSnowyLandscape",
     "ChangeColorspace", "WithColorspace", "WithHueAndSaturation",
     "WithBrightnessChannels", "KMeansColorQuantization",
-    "AveragePool", "ElasticTransformationApprox", "PadToFixedSize",
-    "CenterCropToFixedSize", "Lambda", "AssertShape", "AssertLambda",
+    "AveragePool", "ElasticTransformationApprox",
+    "Lambda", "AssertShape", "AssertLambda",
     "RelativeRegularGridVoronoi",
     # blend mask generators that need data-dependent inputs (color
     # clustering / arbitrary user masks); the 8 core BlendAlpha* variants
@@ -263,6 +263,15 @@ def _normalize_augmentation(spec) -> List[Dict[str, Any]]:
             hint = AUGMENTERS.suggest(name)
             extra = f" Did you mean {hint!r}?" if hint else ""
             raise ConfigError(f"unknown augmenter {name!r}.{extra}")
+        # argument-KEY validation: the reference's reflection registry
+        # instantiates real imgaug classes, which raise on unknown kwargs
+        # (SURVEY §2a); without this a typo'd key lowers to a silent no-op
+        from .ops.aug.arg_schema import validate_args
+
+        try:
+            validate_args(name, args)
+        except ValueError as e:
+            raise ConfigError(str(e)) from None
         # meta-augmenters carry child aug blocks — validate them recursively
         # so a typo'd child name errors at parse time, not at trace time
         low = name.lower()

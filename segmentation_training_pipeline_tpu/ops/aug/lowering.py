@@ -46,6 +46,7 @@ Array = jax.Array
 _GEOMETRIC = {"fliplr", "horizontalflip", "flipud", "verticalflip", "rot90",
               "affine", "crop", "cropandpad", "pad",
               "croptofixedsize", "randomcrop",
+              "padtofixedsize", "centercroptofixedsize",
               "elastictransformation", "elastictransform", "elastic",
               "piecewiseaffine", "perspectivetransform"}
 
@@ -220,9 +221,16 @@ def _coerce_block(spec) -> List[Dict[str, Any]]:
     return out
 
 
-def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
+def build_augmentation(specs: List[Dict[str, Any]],
+                       integer_input: bool = True) -> Callable:
     """specs: [{"name": ..., "args": ...}] (config-normalized) →
     ``aug_fn(rng, images_u8, masks) -> (images_f32_0..255, masks)``.
+
+    ``integer_input=False`` marks a CHILD pipeline whose input may carry
+    non-integer floats (a meta/blend combinator placed after another
+    segment): its first geo segment must then skip the uint8-exact gather
+    packing, whose float->u8 cast truncates fractional values and clamps
+    anything outside 0..255.
 
     User block order is PRESERVED across the geometric/photometric boundary
     (imgaug applies augmenters sequentially; `{Add: 10, Affine: ...}` adds
@@ -249,12 +257,14 @@ def build_augmentation(specs: List[Dict[str, Any]]) -> Callable:
 
     seg_fns: List[Callable] = []
     for i, (kind, item) in enumerate(segments):
+        first = (i == 0 and integer_input)
         if kind == "geo":
-            # uint8-exact gather only for the FIRST segment (photometrics
-            # before a warp leave non-integer values)
-            seg_fns.append(_make_geo_run(item, integer_input=(i == 0)))
+            # uint8-exact gather only for the FIRST segment of an integer-
+            # input pipeline (photometrics before a warp leave non-integer
+            # values)
+            seg_fns.append(_make_geo_run(item, integer_input=first))
         elif kind == "meta":
-            seg_fns.append(_make_meta(item))
+            seg_fns.append(_make_meta(item, integer_input=first))
         else:
             seg_fns.append(functools.partial(_apply_photo, item))
 
@@ -353,12 +363,24 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
     for _s in geo:
         _a = _s.get("args")
         if isinstance(_a, dict):
-            _md = _a.get("mode")
-            if _md not in (None, "constant"):
-                raise ValueError(
-                    f"{_s['name']}: only mode='constant' fill is supported "
-                    f"(got {_md!r}); imgaug's edge/reflect/wrap border "
-                    "modes are not lowered — see docs/schema.md")
+            for _mk in ("mode", "pad_mode"):
+                _md = _a.get(_mk)
+                if _md not in (None, "constant"):
+                    raise ValueError(
+                        f"{_s['name']}: only {_mk}='constant' fill is "
+                        f"supported (got {_md!r}); imgaug's edge/reflect/"
+                        "wrap border modes are not lowered — see "
+                        "docs/schema.md")
+            for _pk in ("px", "percent"):
+                _pv = _a.get(_pk)
+                if (isinstance(_pv, (list, tuple)) and len(_pv) == 4
+                        and _s["name"].lower() in ("crop", "cropandpad",
+                                                   "pad")):
+                    raise ValueError(
+                        f"{_s['name']}: the imgaug 4-tuple per-side {_pk} "
+                        "form (top, right, bottom, left) is not lowered — "
+                        "each side samples independently from a scalar or "
+                        "[lo, hi] range here; see docs/schema.md")
             _cv = _a.get("cval", _a.get("pad_cval"))
             if _cv is not None:
                 _cval_spec = _cv
@@ -461,10 +483,12 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                         pmin = min(float(v) for v in vals)
                         if pmin < 0:
                             mag *= 1.0 / max(1.0 + 2.0 * pmin, 0.1)
-                elif name in ("croptofixedsize", "randomcrop"):
+                elif name in ("croptofixedsize", "randomcrop",
+                              "centercroptofixedsize"):
                     # zoom factor known only relative to the input shape;
                     # bounded inside aug_fn where h/w are known — use a
-                    # generous static cap here
+                    # generous static cap here (PadToFixedSize zooms OUT,
+                    # shrinking displacement: no contribution)
                     mag *= 4.0
             except (TypeError, ValueError):
                 mag *= 4.0  # unparseable spec: be conservative
@@ -534,7 +558,19 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                     f_lo = max(1.0 + 2.0 * lo, 0.1)
                     f_hi = max(1.0 + 2.0 * hi, 0.1)
                     aniso *= f_hi / f_lo
-        except (TypeError, ValueError):
+                elif name in ("croptofixedsize", "randomcrop",
+                              "centercroptofixedsize", "padtofixedsize"):
+                    # fixed-size windows scale x by width/w and y by
+                    # height/h → anisotropy (width/height)·(h/w): exact
+                    # on square frames; non-square frames keep the 0.5
+                    # pad floor in _pad_frac
+                    wd = a.get("width")
+                    ht = a.get("height")
+                    if wd is not None or ht is not None:
+                        r = (float(wd if wd is not None else ht)
+                             / float(ht if ht is not None else wd))
+                        aniso *= max(r, 1.0 / r)
+        except (TypeError, ValueError, ZeroDivisionError):
             return 90.0, 2.0
         return rot + shear, aniso
 
@@ -673,17 +709,59 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                 mats = W.compose(m, mats)
             elif name in ("croptofixedsize", "randomcrop"):
                 a = args or {}
-                ch = float(a.get("height", h)) / h
-                cw = float(a.get("width", w)) / w
+                # imgaug never crops beyond the image: target > input no-ops
+                ch = min(float(a.get("height", h)) / h, 1.0)
+                cw = min(float(a.get("width", w)) / w, 1.0)
                 k1, k2 = jax.random.split(k)
-                offx = jax.random.uniform(k1, (b,)) * (1.0 - cw)
-                offy = jax.random.uniform(k2, (b,)) * (1.0 - ch)
+                if a.get("position") == "center":
+                    offx = jnp.full((b,), (1.0 - cw) / 2.0)
+                    offy = jnp.full((b,), (1.0 - ch) / 2.0)
+                else:
+                    offx = jax.random.uniform(k1, (b,)) * (1.0 - cw)
+                    offy = jax.random.uniform(k2, (b,)) * (1.0 - ch)
                 m = W.identity_mats(b)
                 m = m.at[:, 0, 0].set(cw)
                 m = m.at[:, 1, 1].set(ch)
                 m = m.at[:, 0, 2].set(offx * w)
                 m = m.at[:, 1, 2].set(offy * h)
                 mats = W.compose(m, mats)
+            elif name == "centercroptofixedsize":
+                # deterministic centered CropToFixedSize (+ resize back,
+                # the same static-shape deviation as CropToFixedSize)
+                a = args or {}
+                ch = min(float(a.get("height", h)) / h, 1.0)
+                cw = min(float(a.get("width", w)) / w, 1.0)
+                if cw < 1.0 or ch < 1.0:
+                    m = W.identity_mats(b)
+                    m = m.at[:, 0, 0].set(cw)
+                    m = m.at[:, 1, 1].set(ch)
+                    m = m.at[:, 0, 2].set((1.0 - cw) / 2.0 * w)
+                    m = m.at[:, 1, 2].set((1.0 - ch) / 2.0 * h)
+                    mats = W.compose(m, mats)
+            elif name == "padtofixedsize":
+                # imgaug PadToFixedSize pads to AT LEAST (height, width),
+                # image placed at a random (default) or center position on
+                # the padded canvas; lowered as the canvas-window affine
+                # src = f·dst − off (resize-back deviation, like
+                # CropToFixedSize).  Fill honors cval/pad_cval via the
+                # run-level shift trick; masks fill 0.
+                a = args or {}
+                fh = max(float(a.get("height", h)) / h, 1.0)
+                fw2 = max(float(a.get("width", w)) / w, 1.0)
+                if fw2 > 1.0 or fh > 1.0:
+                    k1, k2 = jax.random.split(k)
+                    if a.get("position") == "center":
+                        offx = jnp.full((b,), (fw2 - 1.0) / 2.0)
+                        offy = jnp.full((b,), (fh - 1.0) / 2.0)
+                    else:
+                        offx = jax.random.uniform(k1, (b,)) * (fw2 - 1.0)
+                        offy = jax.random.uniform(k2, (b,)) * (fh - 1.0)
+                    m = W.identity_mats(b)
+                    m = m.at[:, 0, 0].set(fw2)
+                    m = m.at[:, 1, 1].set(fh)
+                    m = m.at[:, 0, 2].set(-offx * w)
+                    m = m.at[:, 1, 2].set(-offy * h)
+                    mats = W.compose(m, mats)
             elif name in ("elastictransformation", "elastictransform", "elastic"):
                 a = args or {}
                 k1, k2, k3 = jax.random.split(k, 3)
@@ -963,7 +1041,7 @@ def _blend_alpha_map(name: str, a: Dict[str, Any], k: Array, b: int, h: int,
     raise KeyError(f"blend augmenter {name!r} has no lowering")
 
 
-def _make_blend(s: Dict[str, Any]) -> Callable:
+def _make_blend(s: Dict[str, Any], integer_input: bool = True) -> Callable:
     """BlendAlpha* lowering: ``alpha·foreground(x) + (1−alpha)·background(x)``
     for images; masks take whichever branch's alpha is ≥ 0.5 (imgaug's
     segmentation-map blend rule — per image for BlendAlpha, per pixel for
@@ -973,8 +1051,12 @@ def _make_blend(s: Dict[str, Any]) -> Callable:
     a = dict(raw) if isinstance(raw, dict) else {}
     fg_spec = a.get("foreground") or a.get("first")
     bg_spec = a.get("background") or a.get("second")
-    fg = build_augmentation(_coerce_block(fg_spec)) if fg_spec else None
-    bg = build_augmentation(_coerce_block(bg_spec)) if bg_spec else None
+    fg = (build_augmentation(_coerce_block(fg_spec),
+                             integer_input=integer_input)
+          if fg_spec else None)
+    bg = (build_augmentation(_coerce_block(bg_spec),
+                             integer_input=integer_input)
+          if bg_spec else None)
     if fg is None and bg is None:
         raise ValueError(
             f"{s['name']} needs a foreground (or background) child "
@@ -996,17 +1078,19 @@ def _make_blend(s: Dict[str, Any]) -> Callable:
     return fn
 
 
-def _make_meta(s: Dict[str, Any]) -> Callable:
+def _make_meta(s: Dict[str, Any], integer_input: bool = True) -> Callable:
     """Sometimes / OneOf / SomeOf meta-augmenters (imgaug semantics):
     child pipelines are built recursively; per-image selection is a
     branch-free ``where`` between the child output and the input (children
     are applied IN ORDER to the running batch, like imgaug with
-    random_order=False)."""
+    random_order=False).  ``integer_input`` reflects this combinator's
+    position in the parent pipeline and gates the children's uint8-exact
+    gather packing (values after a photometric may leave 0..255)."""
     name = s["name"].lower()
     args = s.get("args")
 
     if name in _BLEND:
-        return _make_blend(s)
+        return _make_blend(s, integer_input=integer_input)
 
     if name == "withchannels":
         # imgaug WithChannels(channels, children): children see only the
@@ -1049,10 +1133,12 @@ def _make_meta(s: Dict[str, Any]) -> Callable:
         a = args if isinstance(args, dict) else {}
         p = float(a.get("p", 0.5))
         child = build_augmentation(_coerce_block(
-            a.get("then") or a.get("then_list") or a.get("children")))
+            a.get("then") or a.get("then_list") or a.get("children")),
+            integer_input=integer_input)
         else_spec = (a.get("else") or a.get("else_list")
                      or a.get("otherwise"))
-        child_else = (build_augmentation(_coerce_block(else_spec))
+        child_else = (build_augmentation(_coerce_block(else_spec),
+                                         integer_input=integer_input)
                       if else_spec else None)
 
         def fn(k: Array, imgs: Array, masks: Array):
@@ -1070,7 +1156,8 @@ def _make_meta(s: Dict[str, Any]) -> Callable:
     if name == "oneof":
         entries = args if isinstance(args, list) else [args]
         children = [build_augmentation(_coerce_block(
-            e if isinstance(e, list) else [e])) for e in entries]
+            e if isinstance(e, list) else [e]),
+            integer_input=integer_input) for e in entries]
 
         def fn(k: Array, imgs: Array, masks: Array):
             kc, *kks = jax.random.split(k, len(children) + 1)
@@ -1095,7 +1182,8 @@ def _make_meta(s: Dict[str, Any]) -> Callable:
                 f"{args!r}")
         entries = entries if isinstance(entries, list) else [entries]
         children = [build_augmentation(_coerce_block(
-            e if isinstance(e, list) else [e])) for e in entries]
+            e if isinstance(e, list) else [e]),
+            integer_input=integer_input) for e in entries]
         kc_n = len(children)
         if isinstance(n_spec, (list, tuple)):
             n_lo, n_hi = int(n_spec[0]), int(n_spec[1])
@@ -1281,7 +1369,7 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
             sig_max = 3.0
         radius = int(min(max(3, math.ceil(2.5 * sig_max)), 64))
         imgs = ph.gaussian_blur(imgs, _sample(k, a, b, 0.0), radius=radius)
-    elif name in ("coarsedropout", "cutout"):
+    elif name == "coarsedropout":
         a = args or {}
         if isinstance(a, (int, float, list, tuple)):
             p_spec, size = a, 0.1
@@ -1291,6 +1379,30 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         k1, k2 = jax.random.split(k)
         imgs = ph.coarse_dropout(k2, imgs, _sample(k1, p_spec, b),
                                  size_frac=size)
+    elif name == "cutout":
+        # imgaug Cutout(nb_iterations, size, cval): nb_iterations squares,
+        # each `size` fraction of the image side, filled with cval (128).
+        # Lowered onto a static size-cell grid with per-cell Bernoulli
+        # probability nb/(cells) — expected cutout COUNT matches imgaug
+        # but is Binomial, and positions snap to the grid (documented
+        # deviation; fill_mode='gaussian' / squared=false are rejected at
+        # parse time, see ops/aug/arg_schema.py).
+        a = args or {}
+        if isinstance(a, (int, float, list, tuple)):
+            a = {"nb_iterations": a}
+        size = float(a.get("size", 0.2))
+        size = min(max(size, 1e-3), 1.0)
+        gh = max(1, int(round(1.0 / size)))
+        k1, k2, k3 = jax.random.split(k, 3)
+        nb = _sample(k1, a.get("nb_iterations", 1), b, 1.0)
+        p_cell = jnp.clip(nb / float(gh * gh), 0.0, 1.0)
+        drop = (jax.random.uniform(k2, (b, gh, gh, 1))
+                < p_cell[:, None, None, None])
+        bsz, hh, ww = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+        mask = jax.image.resize(drop.astype(jnp.float32),
+                                (bsz, hh, ww, 1), "nearest")
+        cv = _sample(k3, a.get("cval", 128), b, 128.0)[:, None, None, None]
+        imgs = imgs * (1.0 - mask) + cv * mask
     elif name == "grayscale":
         a = args if not isinstance(args, dict) else args.get("alpha", 1.0)
         imgs = ph.grayscale(imgs, _sample(k, a, b, 1.0))
@@ -1299,8 +1411,24 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         k1, k2 = jax.random.split(k)
         imgs = ph.invert(k2, imgs, _sample(k1, a, b, 0.5))
     elif name == "solarize":
-        a = args if not isinstance(args, dict) else args.get("threshold", 128)
-        imgs = ph.solarize(imgs, _sample(k, a, b, 128.0))
+        # imgaug Solarize(p=1, threshold=128): the bare-scalar form is the
+        # application PROBABILITY (not the threshold — that was a round-4
+        # divergence); dict form takes both
+        a = args if isinstance(args, dict) else {"p": args}
+        k1, k2, k3 = jax.random.split(k, 3)
+        th = _sample(k2, a.get("threshold", 128), b, 128.0)
+        sol = ph.solarize(imgs, th)
+        p = float(a.get("p", 1.0)) if not isinstance(a.get("p"), (list, tuple)) \
+            else None
+        if p is None:
+            apply = (jax.random.uniform(k3, (b,))
+                     < _sample(k1, a.get("p"), b, 1.0))
+        elif p >= 1.0:
+            apply = None
+        else:
+            apply = jax.random.bernoulli(k1, p, (b,))
+        imgs = sol if apply is None else \
+            jnp.where(apply[:, None, None, None], sol, imgs)
     elif name == "sharpen":
         a = args or {}
         k1, k2 = jax.random.split(k)
@@ -1426,7 +1554,8 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         imgs = ph.histogram_equalization(imgs)
     elif name in ("clahe", "allchannelsclahe"):
         a = args if isinstance(args, dict) else {"clip_limit": args}
-        grid = int(a.get("tile_grid_size", 8))
+        # imgaug's kwarg is tile_grid_size_px; accept both spellings
+        grid = int(a.get("tile_grid_size", a.get("tile_grid_size_px", 8)))
         imgs = ph.clahe(imgs, _sample(k, a.get("clip_limit", [1, 10]),
                                       b, 40.0), tile_grid=grid)
     elif name == "jpegcompression":

@@ -225,8 +225,10 @@ class TestNewPhotometric:
         np.testing.assert_array_equal(om, masks)
 
     def test_solarize_threshold0_inverts_all(self):
+        # r5: bare scalar is imgaug's p (probability); threshold via dict
         imgs, masks = _imgs(1, 16, 16), _masks(1, 16, 16)
-        oi, _ = _run([("Solarize", 0.0)], imgs, masks)
+        oi, _ = _run([("Solarize", {"p": 1.0, "threshold": 0.0})],
+                     imgs, masks)
         np.testing.assert_allclose(oi, 255.0 - imgs.astype(np.float32),
                                    atol=1e-4)
 
