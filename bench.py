@@ -236,30 +236,90 @@ def main():
         idx = np.arange(len(ds))
         # BENCH_CACHE=1 -> RAM-cached epochs (the `cache: true` YAML path)
         cache = {} if os.environ.get("BENCH_CACHE", "0") != "0" else None
+        stats = {}
 
         def gen():
             return make_batches(ds, idx, (H, W, 3), 1, "sigmoid", BATCH,
-                                wrap_pad=False, cache=cache)
+                                wrap_pad=False, cache=cache, stats=stats)
 
         # warmup epoch compiles + fills the page cache
         for b in Prefetcher(gen, depth=4):
             state, logs = step(state, b, lr, key)
         float(_jax.device_get(logs["loss"]))
+
+        # -- timed (overlapped) epoch: the headline number ---------------
+        stats.clear()
         t0 = time.perf_counter()
         n_imgs = 0
+        wait_s = 0.0    # consumer starvation = input-bound evidence
+        step_s = 0.0    # dispatch incl. implicit h2d of the numpy batch
+        t_prev = t0
         for b in Prefetcher(gen, depth=4):
+            t_got = time.perf_counter()
+            wait_s += t_got - t_prev
             state, logs = step(state, b, lr, key)
+            t_prev = time.perf_counter()
+            step_s += t_prev - t_got
             n_imgs += int(b["image"].shape[0])
         final_loss = float(_jax.device_get(logs["loss"]))
         dt = time.perf_counter() - t0
         assert np.isfinite(final_loss)
         n_chips = len(_jax.devices())
         ips = n_imgs / dt / max(1, n_chips)
+
+        # -- synchronized diagnostic pass: per-stage ms/batch -------------
+        # (VERDICT r4 item 3: make host-decode variance diagnosable — the
+        # r4 41-54 -> 31.5 move was narrated, not measured)
+        diag = {}
+        it = gen()
+        n_diag = 0
+        dec_s = h2d_s = dstep_s = 0.0
+        for _ in range(3):
+            t1 = time.perf_counter()
+            try:
+                b = next(it)
+            except StopIteration:
+                break
+            t2 = time.perf_counter()
+            db = {k: _jax.device_put(v) for k, v in b.items()}
+            # force the transfers via a 1-element dependent fetch
+            # (block_until_ready returns early on axon; device_get of the
+            # whole buffer would time D2H too)
+            for v in db.values():
+                float(_jax.device_get(jnp.ravel(v)[0]))
+            t3 = time.perf_counter()
+            state, logs = step(state, db, lr, key)
+            float(_jax.device_get(logs["loss"]))
+            t4 = time.perf_counter()
+            dec_s += t2 - t1
+            h2d_s += t3 - t2
+            dstep_s += t4 - t3
+            n_diag += 1
+        if n_diag:
+            diag = {
+                "decode_ms_per_batch": round(dec_s / n_diag * 1e3, 1),
+                "h2d_ms_per_batch": round(h2d_s / n_diag * 1e3, 1),
+                "step_ms_per_batch": round(dstep_s / n_diag * 1e3, 1),
+            }
         print(json.dumps({
             "metric": "e2e_pipeline_images_per_sec_per_chip_unet_resnet34_512",
             "value": round(ips, 2),
             "unit": "images/sec/chip",
             "vs_baseline": round(ips / 75.0, 3),
+            "breakdown": {
+                "native_loader_used": bool(stats.get("native", False)),
+                "batch": BATCH,
+                "epoch_s": round(dt, 2),
+                # overlapped epoch attribution: wait = blocked on the host
+                # producer (input-bound); step dispatches are ASYNC so the
+                # device-execution time pools in the final-sync tail
+                "producer_decode_s": round(stats.get("decode_s", 0.0), 2),
+                "consumer_wait_s": round(wait_s, 2),
+                "consumer_dispatch_s": round(step_s, 2),
+                "final_sync_s": round(max(dt - wait_s - step_s, 0.0), 2),
+                # synchronized per-stage costs (3-batch diagnostic pass)
+                **diag,
+            },
         }))
         return
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
@@ -142,7 +143,8 @@ def _native_loader():
 def make_batches(dataset: DataSet, indices: Sequence[int], shape, classes: int,
                  activation: str, batch_size: int,
                  wrap_pad: bool = True,
-                 cache: Optional[dict] = None) -> Iterator[Dict[str, np.ndarray]]:
+                 cache: Optional[dict] = None,
+                 stats: Optional[dict] = None) -> Iterator[Dict[str, np.ndarray]]:
     """Yield batches of stacked uint8 images + uint8 one-hot masks
     (the training/eval steps cast masks to float32 ON DEVICE; shipping f32
     quadruples the host->device wire).
@@ -152,6 +154,12 @@ def make_batches(dataset: DataSet, indices: Sequence[int], shape, classes: int,
     the per-item Python path.  The final partial batch wraps around to the
     plan's start (deterministic) and reports weights so eval can discount
     the padding.
+
+    ``stats`` (optional): a dict accumulating host-side timing —
+    ``decode_s`` (wall seconds spent assembling batches, incl. decode +
+    resize + stack), ``batches``, and ``native`` (whether the C++ loader
+    served this plan).  Used by ``BENCH_MODE=pipeline`` to emit a
+    diagnosable breakdown instead of a bare img/s number.
 
     ``cache`` (``cache: true`` in YAML): per-index dict of decoded
     ``(img_u8, mask_u8)`` items.  Image decode is the host bottleneck at
@@ -167,7 +175,12 @@ def make_batches(dataset: DataSet, indices: Sequence[int], shape, classes: int,
     use_native = (c in (1, 3)  # the C++ decoder emits gray or BGR only
                   and _native_loader() is not None
                   and _paths_available(dataset, int(idx[0])))
+    if stats is not None:
+        stats["native"] = bool(use_native)
+        stats.setdefault("decode_s", 0.0)
+        stats.setdefault("batches", 0)
     for start in range(0, n, batch_size):
+        _t0 = time.perf_counter() if stats is not None else 0.0
         sel = idx[start : start + batch_size]
         n_real = len(sel)
         if n_real < batch_size and wrap_pad:
@@ -200,6 +213,9 @@ def make_batches(dataset: DataSet, indices: Sequence[int], shape, classes: int,
                 ii = int(sel[j])
                 if ii not in cache:
                     cache[ii] = (imgs_arr[j], masks_arr[j])
+        if stats is not None:
+            stats["decode_s"] += time.perf_counter() - _t0
+            stats["batches"] += 1
         yield {
             "image": imgs_arr,
             "mask": masks_arr,

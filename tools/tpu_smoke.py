@@ -1,18 +1,30 @@
-"""One-command Pallas kernel certification (VERDICT r3 item 5).
+"""One-command Pallas kernel + augmenter-surface certification.
 
-Compiles and runs EVERY Pallas kernel's spot check against its XLA
-oracle — one PASS/FAIL + timing line per kernel — so the kernel surface
-can be re-certified after a JAX/libtpu bump without archaeology through
-scattered /tmp drives.  Run it each round beside bench.py and paste the
-table into PERF.md.
+Kernel mode (default; VERDICT r3 item 5): compiles and runs EVERY Pallas
+kernel's spot check against its XLA oracle — one PASS/FAIL + timing line
+per kernel — so the kernel surface can be re-certified after a JAX/libtpu
+bump without archaeology through scattered /tmp drives.
+
+Aug mode (``--aug``; VERDICT r4 item 2): certifies the ENTIRE augmenter
+registry on the current backend — every registered name AND alias is
+lowered to a one-augmenter pipeline with representative args, jitted on
+the default device, and checked against the same pipeline on the host CPU
+backend (identical threefry randomness): finite outputs, image range
+[0, 255], mask binarity, and a per-family tolerance on the image
+difference (Pallas-vs-footprint geo paths and threshold-amplified ops get
+looser tolerances — see _AUG_TOL).  One command re-certifies the whole
+87-name surface after any JAX/libtpu bump.
+
+Run both each round beside bench.py and paste the tables into PERF.md.
 
 Usage:
-    python tools/tpu_smoke.py [B] [H] [--interpret]
+    python tools/tpu_smoke.py [B] [H] [--interpret]          # kernels
+    python tools/tpu_smoke.py --aug [B] [H] [--only a,b,c]   # aug surface
 
-Default B=16 H=W=256 on the real chip (persistent compile cache wired
-in).  ``--interpret`` forces the CPU backend and runs the kernels in
-Pallas interpret mode (used by tests/test_tools.py to exercise this
-tool's logic without a TPU).
+Default B=16 H=W=256 (kernels) / B=4 H=W=128 (aug) on the real chip
+(persistent compile cache wired in).  ``--interpret`` forces the CPU
+backend (kernels run in Pallas interpret mode; aug compares CPU vs CPU —
+used by tests/test_tools.py to exercise the logic without a TPU).
 
 Kernels covered (ops/aug/):
   shear-pass       pallas_shear.shear_pass_tpu      vs fast_warp._shear_pass
@@ -23,7 +35,7 @@ Kernels covered (ops/aug/):
   fused-elastic    the YE flag path (disp folded into the y pipeline)
                                                     vs two-stage affine->elastic
 
-Exit code: 0 iff every kernel PASSes.
+Exit code: 0 iff every check PASSes.
 """
 
 import os
@@ -37,9 +49,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from _util import enable_compile_cache  # noqa: E402
 
 INTERPRET = "--interpret" in sys.argv
-argv = [a for a in sys.argv[1:] if not a.startswith("--")]
-B = int(argv[0]) if len(argv) > 0 else (2 if INTERPRET else 16)
-H = W = int(argv[1]) if len(argv) > 1 else (128 if INTERPRET else 256)
+AUG_MODE = "--aug" in sys.argv
+ONLY = None
+_raw = sys.argv[1:]
+if "--only" in _raw:
+    i = _raw.index("--only")
+    ONLY = set(_raw[i + 1].lower().split(","))
+    _raw = _raw[:i] + _raw[i + 2:]
+argv = [a for a in _raw if not a.startswith("--")]
+_default_b = (2 if INTERPRET else (4 if AUG_MODE else 16))
+_default_h = (128 if INTERPRET or AUG_MODE else 256)
+B = int(argv[0]) if len(argv) > 0 else _default_b
+H = W = int(argv[1]) if len(argv) > 1 else _default_h
 
 if INTERPRET:
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -225,9 +246,195 @@ def check_fused_elastic_flag_path():
             f"max_err={err:.2e} mask_mism={mism:.1e}", ms_p, ms_o)
 
 
+# ---------------------------------------------------------------------------
+# --aug mode: certify the whole augmenter registry on this backend
+# ---------------------------------------------------------------------------
+
+# representative args per CANONICAL augmenter name (None = bare default);
+# chosen so each op visibly transforms a random 128² batch
+_AUG_ARGS = {
+    "Fliplr": 1.0, "Flipud": 1.0, "Rot90": [1, 1],
+    "Affine": {"rotate": [-15, 15], "scale": [0.9, 1.1],
+               "translate_percent": {"x": [-0.1, 0.1]}, "shear": [-5, 5],
+               "cval": 64},
+    "ElasticTransformation": {"alpha": [15, 25], "sigma": 5},
+    "Crop": {"percent": [0, 0.1]}, "CropAndPad": {"percent": [-0.1, 0.1]},
+    "Pad": {"percent": [0, 0.15], "pad_cval": 32},
+    "CropToFixedSize": {"width": 96, "height": 96},
+    "PadToFixedSize": {"width": 160, "height": 160},
+    "CenterCropToFixedSize": {"width": 96, "height": 96},
+    "PiecewiseAffine": {"scale": [0.01, 0.03]},
+    "PerspectiveTransform": {"scale": [0.02, 0.06]},
+    "Rotate": [-25, 25], "TranslateX": [-0.2, 0.2],
+    "TranslateY": {"px": [-10, 10]},
+    "ScaleX": [0.8, 1.2], "ScaleY": [0.8, 1.2],
+    "ShearX": [-15, 15], "ShearY": [-15, 15],
+    "Multiply": [0.8, 1.2], "Add": [-25, 25],
+    "LinearContrast": [0.7, 1.3], "GammaContrast": [0.7, 1.4],
+    "SigmoidContrast": {"gain": [5, 12], "cutoff": [0.3, 0.6]},
+    "LogContrast": [0.6, 1.4],
+    "AdditiveGaussianNoise": {"scale": [5, 12]},
+    "AdditivePoissonNoise": {"lam": [2, 8]},
+    "AdditiveLaplaceNoise": {"scale": [2, 10]},
+    "GaussianBlur": {"sigma": [0.5, 2]}, "AverageBlur": {"k": [3, 7]},
+    "MotionBlur": {"k": [3, 7], "angle": [0, 360]}, "MedianBlur": 3,
+    "CoarseDropout": {"p": 0.1, "size_percent": 0.1},
+    "Cutout": {"nb_iterations": 2, "size": 0.2},
+    "Dropout": 0.05, "Dropout2d": {"p": 0.5}, "TotalDropout": 0.5,
+    "SaltAndPepper": 0.05, "Salt": 0.05, "Pepper": 0.05,
+    "ImpulseNoise": 0.05,
+    "CoarseSaltAndPepper": {"p": 0.1, "size_percent": 0.1},
+    "CoarseSalt": {"p": 0.1, "size_percent": 0.1},
+    "CoarsePepper": {"p": 0.1, "size_percent": 0.1},
+    "ReplaceElementwise": {"mask": 0.05, "replacement": [0, 255]},
+    "AddElementwise": [-20, 20], "MultiplyElementwise": [0.8, 1.2],
+    "Grayscale": [0.5, 1.0], "Invert": 1.0,
+    "Solarize": {"p": 1.0, "threshold": [64, 192]},
+    "Sharpen": {"alpha": [0.3, 0.7]}, "Emboss": {"alpha": [0.3, 0.7]},
+    "EdgeDetect": {"alpha": [0.3, 0.7]},
+    "AveragePooling": 2, "MaxPooling": 2, "MinPooling": 2,
+    "AddToHue": [-40, 40], "AddToSaturation": [-60, 60],
+    "MultiplyHue": [0.6, 1.4], "MultiplySaturation": [0.3, 2.0],
+    "RemoveSaturation": 1.0,
+    "AddToHueAndSaturation": {"value": [-30, 30]},
+    "MultiplyHueAndSaturation": {"mul": [0.8, 1.2]},
+    "HistogramEqualization": None,
+    "CLAHE": {"clip_limit": [2, 6], "tile_grid_size": 8},
+    "JpegCompression": {"compression": [50, 90]},
+    "Posterize": {"nb_bits": [3, 6]}, "ChannelShuffle": 1.0,
+    "Autocontrast": 2, "Noop": None, "Resize": 0.5,
+    "Clouds": {"coverage": [0.3, 0.5]}, "Fog": {"density": [0.2, 0.4]},
+    "Snowflakes": None, "Rain": None,
+    "ChangeColorTemperature": {"kelvin": [2000, 10000]},
+    "UniformColorQuantization": {"n_colors": [4, 8]},
+    "Sometimes": {"p": 0.5, "then": {"Add": [20, 40]},
+                  "else": {"Multiply": [0.5, 0.8]}},
+    "OneOf": [{"Fliplr": 1.0}, {"Flipud": 1.0}],
+    "SomeOf": {"n": [0, 2], "children": [{"Add": [-20, 20]},
+                                         {"Multiply": [0.8, 1.2]}]},
+    "WithChannels": {"channels": [0], "children": {"Add": [20, 40]}},
+    "BlendAlpha": {"factor": [0.2, 0.8], "foreground": {"Add": 40}},
+    "BlendAlphaElementwise": {"factor": [0, 1], "foreground": {"Add": 40}},
+    "BlendAlphaVerticalLinearGradient": {"foreground": {"Add": 40}},
+    "BlendAlphaHorizontalLinearGradient": {"foreground": {"Add": 40}},
+    "BlendAlphaRegularGrid": {"nb_rows": [2, 4], "nb_cols": [2, 4],
+                              "foreground": {"Multiply": 0.5}},
+    "BlendAlphaCheckerboard": {"nb_rows": 4, "nb_cols": 4,
+                               "foreground": {"Invert": 1.0}},
+    "BlendAlphaSimplexNoise": {"foreground": {"Add": 40}},
+    "BlendAlphaFrequencyNoise": {"exponent": [-3, 3],
+                                 "foreground": {"Add": 40}},
+}
+
+# mean |TPU - CPU| tolerance on the 0..255 scale.  Default covers
+# elementwise/noise ops (identical threefry bits; f32 rounding only).
+# Looser classes: conv/histogram ops (algorithm/fusion differences),
+# warp-path geo (Pallas shear/bf16 dots vs CPU f32 footprint gather),
+# displacement fields + threshold-amplified maps (a 1-ulp diff can flip
+# a sigmoid/mask cell, so a few pixels differ by full range).
+_AUG_TOL_DEFAULT = 0.75
+_AUG_TOL = {}
+for _n in ("gaussianblur", "averageblur", "motionblur", "medianblur",
+           "sharpen", "emboss", "edgedetect", "averagepooling",
+           "histogramequalization", "allchannelshistogramequalization",
+           "clahe", "allchannelsclahe", "autocontrast",
+           "posterize", "uniformcolorquantization",
+           "changecolortemperature", "jpegcompression"):
+    _AUG_TOL[_n] = 2.0
+for _n in ("fliplr", "horizontalflip", "flipud", "verticalflip", "rot90",
+           "affine", "crop", "cropandpad", "pad", "croptofixedsize",
+           "randomcrop", "padtofixedsize", "centercroptofixedsize",
+           "rotate", "translatex", "translatey", "scalex", "scaley",
+           "shearx", "sheary", "resize", "scale", "oneof"):
+    _AUG_TOL[_n] = 3.0
+for _n in ("elastictransformation", "elastictransform", "elastic",
+           "piecewiseaffine", "perspectivetransform",
+           "blendalphasimplexnoise", "simplexnoisealpha",
+           "blendalphafrequencynoise", "frequencynoisealpha",
+           "blendalpharegulargrid", "blendalphacheckerboard",
+           "blendalphaelementwise", "alphaelementwise",
+           "clouds", "fog", "snowflakes", "rain",
+           "sometimes", "someof", "blendalpha", "alpha",
+           "blendalphaverticallineargradient",
+           "blendalphahorizontallineargradient", "withchannels"):
+    _AUG_TOL[_n] = 6.0
+
+
+def check_aug_surface():
+    """Every registered augmenter name + alias: jit on the default
+    backend, compare against the CPU backend with identical randomness."""
+    from segmentation_training_pipeline_tpu import config as C
+    from segmentation_training_pipeline_tpu.config import AUGMENTERS
+    from segmentation_training_pipeline_tpu.ops.aug.lowering import (
+        build_augmentation)
+
+    C._populate_registries()
+    names = sorted(AUGMENTERS._canonical)  # lowercase, incl. aliases
+    if ONLY is not None:
+        names = [n for n in names if n in ONLY]
+    cpu = jax.devices("cpu")[0]
+    dev = jax.devices()[0]
+    r = np.random.RandomState(0)
+    img_h = r.randint(0, 255, (B, H, W, 3)).astype(np.uint8)
+    msk_h = (r.rand(B, H, W, 1) > 0.5).astype(np.float32)
+    key_h = np.asarray(jax.random.PRNGKey(42))
+
+    n_pass = 0
+    for name in names:
+        canon = AUGMENTERS._canonical[name]
+        args = _AUG_ARGS.get(canon)
+        try:
+            fn = jax.jit(build_augmentation([{"name": name, "args": args}]))
+            outs = {}
+            for tag, d in (("dev", dev), ("cpu", cpu)):
+                ik = jax.device_put(jnp.asarray(key_h), d)
+                ii = jax.device_put(jnp.asarray(img_h), d)
+                im = jax.device_put(jnp.asarray(msk_h), d)
+                t0 = time.perf_counter()
+                oi, om = fn(ik, ii, im)
+                oi = np.asarray(jax.device_get(oi))
+                om = np.asarray(jax.device_get(om))
+                outs[tag] = (oi, om, time.perf_counter() - t0)
+            oi_d, om_d, dt_d = outs["dev"]
+            oi_c, om_c, _ = outs["cpu"]
+            finite = np.isfinite(oi_d).all()
+            in_range = oi_d.min() >= -1e-3 and oi_d.max() <= 255.0 + 1e-3
+            binary = set(np.unique(om_d)) <= {0.0, 1.0}
+            mean_err = float(np.abs(oi_d - oi_c).mean())
+            max_err = float(np.abs(oi_d - oi_c).max())
+            mask_mism = float((om_d != om_c).mean())
+            tol = _AUG_TOL.get(name, _AUG_TOL_DEFAULT)
+            ok = (finite and in_range and binary and mean_err <= tol
+                  and mask_mism <= 0.02)
+            detail = (f"mean_err={mean_err:7.3f} (tol {tol:g}) "
+                      f"max={max_err:6.1f} mask_mism={mask_mism:.4f}")
+            if not (finite and in_range and binary):
+                detail += (f" finite={finite} range={in_range} "
+                           f"binary={binary}")
+        except Exception as e:
+            ok = False
+            detail = f"EXC {type(e).__name__}: {str(e)[:60]}"
+            dt_d = 0.0
+        status = "PASS" if ok else "FAIL"
+        if not ok:
+            _FAILED.append(name)
+        else:
+            n_pass += 1
+        print(f"{status} {name:40s} {detail}  dev={dt_d*1e3:7.1f}ms",
+              flush=True)
+    total = len(names)
+    print(f"AUG SURFACE {'OK' if not _FAILED else 'FAILED'} "
+          f"({n_pass}/{total})"
+          + (f" failed: {_FAILED}" if _FAILED else ""), flush=True)
+
+
 def main():
     mode = "interpret/CPU" if INTERPRET else str(jax.devices()[0])
-    print(f"tpu_smoke: B={B} H=W={H} backend={mode}", flush=True)
+    print(f"tpu_smoke: B={B} H=W={H} backend={mode}"
+          + (" mode=aug" if AUG_MODE else ""), flush=True)
+    if AUG_MODE:
+        check_aug_surface()
+        sys.exit(1 if _FAILED else 0)
     check_shear_pass()
     check_warp_fused()
     check_elastic_single_axis()
