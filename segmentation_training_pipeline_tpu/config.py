@@ -280,12 +280,17 @@ def _normalize_augmentation(spec) -> List[Dict[str, Any]]:
                 raise ConfigError(
                     f"Sometimes expects {{p: ..., then: {{...}}}}, got {args!r}")
             args = dict(args)
-            child = args.pop("then", None) or args.pop("children", None)
+            child = (args.pop("then", None) or args.pop("then_list", None)
+                     or args.pop("children", None))
             args["then"] = _normalize_augmentation(child)
             els = (args.pop("else", None) or args.pop("else_list", None)
                    or args.pop("otherwise", None))
             if els is not None:
                 args["else"] = _normalize_augmentation(els)
+            if not args["then"] and els is None:
+                raise ConfigError(
+                    "Sometimes has neither a then: nor an else: child "
+                    "block — it would lower to a no-op")
         elif low == "oneof":
             if not isinstance(args, list) or not args:
                 raise ConfigError(

@@ -318,6 +318,17 @@ def _check_values(name: str, canon: str, args: Dict[str, Any]) -> None:
                 raise ValueError(
                     f"{name}: {dk} must be a static positive integer "
                     f"(XLA shapes are static), got {dv!r}")
+    if canon in ("affine", "rotate"):
+        # the per-axis dict forms accept ONLY x/y — a typo'd axis key
+        # ({sx: ...}) would silently default both axes
+        for pk in ("scale", "translate_percent", "translate_px", "shear"):
+            pv = args.get(pk)
+            if isinstance(pv, dict):
+                bad = [k for k in pv if k not in ("x", "y")]
+                if bad:
+                    raise ValueError(
+                        f"{name}: {pk} axis dict takes only 'x'/'y' keys, "
+                        f"got {bad} (a typo here silently no-ops the axis)")
 
 
 def validate_args(name: str, args: Any) -> None:

@@ -114,6 +114,25 @@ class TestArgKeyValidation:
             _parse_aug({"CropToFixedSize": {"width": [64, 128],
                                             "height": 64}})
 
+    def test_affine_axis_dict_typo_rejected(self):
+        # {scale: {sx: ...}} previously defaulted BOTH axes silently
+        with pytest.raises(C.ConfigError, match="axis dict.*'x'/'y'"):
+            _parse_aug({"Affine": {"scale": {"sx": [0.9, 1.1]}}})
+        _parse_aug({"Affine": {"scale": {"x": [0.9, 1.1], "y": 1.0}}})
+
+    def test_sometimes_without_children_rejected(self):
+        with pytest.raises(C.ConfigError, match="no-op"):
+            _parse_aug({"Sometimes": {"p": 0.5}})
+        # else-only is legal (imgaug then_list=None + else_list)
+        _parse_aug({"Sometimes": {"p": 0.5, "else": {"Add": 10}}})
+
+    def test_sometimes_then_list_children_validated(self):
+        # then_list previously bypassed recursive child validation
+        with pytest.raises(C.ConfigError, match="sigmaa"):
+            _parse_aug({"Sometimes": {"p": 0.5,
+                                      "then_list": {"GaussianBlur":
+                                                    {"sigmaa": 1}}}})
+
     def test_every_registered_augmenter_has_arg_schema(self):
         """Drift guard: future augmenters cannot ship without a schema
         entry (VERDICT r4 item 1 'done' criterion)."""
