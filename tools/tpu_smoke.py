@@ -375,8 +375,16 @@ def check_aug_surface():
     cpu = jax.devices("cpu")[0]
     dev = jax.devices()[0]
     r = np.random.RandomState(0)
-    img_h = r.randint(0, 255, (B, H, W, 3)).astype(np.uint8)
-    msk_h = (r.rand(B, H, W, 1) > 0.5).astype(np.float32)
+    # SMOOTH content (low-res upsample, like the elastic-smooth kernel
+    # check): photometric comparisons are bit-driven either way, while the
+    # geo paths differ by backend (Pallas shear / separable elastic on TPU
+    # vs XLA footprint gather on CPU) and are only sub-pixel-comparable on
+    # smooth images; the mask follows the image so warp mask flips stay
+    # boundary-only
+    img_h = np.asarray(jax.device_get(jax.device_put(jax.image.resize(
+        jnp.asarray(r.rand(B, 16, 16, 3).astype(np.float32) * 255.0),
+        (B, H, W, 3), "cubic"), cpu))).clip(0, 255).astype(np.uint8)
+    msk_h = (img_h[..., :1] > 127).astype(np.float32)
     key_h = np.asarray(jax.random.PRNGKey(42))
 
     n_pass = 0
@@ -384,17 +392,34 @@ def check_aug_surface():
         canon = AUGMENTERS._canonical[name]
         args = _AUG_ARGS.get(canon)
         try:
-            fn = jax.jit(build_augmentation([{"name": name, "args": args}]))
             outs = {}
             for tag, d in (("dev", dev), ("cpu", cpu)):
-                ik = jax.device_put(jnp.asarray(key_h), d)
-                ii = jax.device_put(jnp.asarray(img_h), d)
-                im = jax.device_put(jnp.asarray(msk_h), d)
-                t0 = time.perf_counter()
-                oi, om = fn(ik, ii, im)
-                oi = np.asarray(jax.device_get(oi))
-                om = np.asarray(jax.device_get(om))
-                outs[tag] = (oi, om, time.perf_counter() - t0)
+                # the Pallas dispatch (use_pallas) consults the env at
+                # TRACE time — force the XLA fallback for the CPU
+                # reference or the traced kernel can't execute there
+                saved = {k: os.environ.get(k) for k in
+                         ("STP_PALLAS_SHEAR", "STP_PALLAS_ELASTIC",
+                          "STP_PALLAS_WARP")}
+                if tag == "cpu":
+                    for k in saved:
+                        os.environ[k] = "0"
+                try:
+                    fn = jax.jit(build_augmentation(
+                        [{"name": name, "args": args}]))
+                    ik = jax.device_put(jnp.asarray(key_h), d)
+                    ii = jax.device_put(jnp.asarray(img_h), d)
+                    im = jax.device_put(jnp.asarray(msk_h), d)
+                    t0 = time.perf_counter()
+                    oi, om = fn(ik, ii, im)
+                    oi = np.asarray(jax.device_get(oi))
+                    om = np.asarray(jax.device_get(om))
+                    outs[tag] = (oi, om, time.perf_counter() - t0)
+                finally:
+                    for k, v in saved.items():
+                        if v is None:
+                            os.environ.pop(k, None)
+                        else:
+                            os.environ[k] = v
             oi_d, om_d, dt_d = outs["dev"]
             oi_c, om_c, _ = outs["cpu"]
             finite = np.isfinite(oi_d).all()
@@ -404,8 +429,11 @@ def check_aug_surface():
             max_err = float(np.abs(oi_d - oi_c).max())
             mask_mism = float((om_d != om_c).mean())
             tol = _AUG_TOL.get(name, _AUG_TOL_DEFAULT)
+            # warp-path masks may flip boundary pixels (multipass nearest
+            # shifts ±1px vs the footprint gather — documented deviation)
+            mask_tol = 0.02 if tol < 3 else 0.06
             ok = (finite and in_range and binary and mean_err <= tol
-                  and mask_mism <= 0.02)
+                  and mask_mism <= mask_tol)
             detail = (f"mean_err={mean_err:7.3f} (tol {tol:g}) "
                       f"max={max_err:6.1f} mask_mism={mask_mism:.4f}")
             if not (finite and in_range and binary):
