@@ -132,6 +132,9 @@ for name, aliases in [
     ("Resize", ("Scale",)),
     ("MotionBlur", ()),
     ("MedianBlur", ()),
+    ("MedianPooling", ()),
+    ("BilateralBlur", ()),
+    ("FastSnowyLandscape", ()),
     ("HistogramEqualization", ("AllChannelsHistogramEqualization",)),
     ("CLAHE", ("AllChannelsCLAHE",)),
     ("JpegCompression", ()),

@@ -198,8 +198,8 @@ def _normalize_callbacks(spec) -> List[Dict[str, Any]]:
 # (VERDICT r3 item 9).
 _KNOWN_UNSUPPORTED_AUGMENTERS = frozenset({
     "Superpixels", "Voronoi", "UniformVoronoi", "RegularGridVoronoi",
-    "Canny", "Cartoon", "Jigsaw", "MedianPooling", "BilateralBlur",
-    "MeanShiftBlur", "DirectedEdgeDetect", "FastSnowyLandscape",
+    "Canny", "Cartoon", "Jigsaw",
+    "MeanShiftBlur", "DirectedEdgeDetect",
     "ChangeColorspace", "WithColorspace", "WithHueAndSaturation",
     "WithBrightnessChannels", "KMeansColorQuantization",
     "AveragePool", "ElasticTransformationApprox",

@@ -180,6 +180,10 @@ _def("MotionBlur", {"k", "angle"},
                    "remove it",
       "order": _FIXED_INTERP})
 _def("MedianBlur", {"k"})
+_def("MedianPooling", {"k", "keep_size"})
+_def("BilateralBlur", {"d", "sigma_color", "sigma_space"})
+_def("FastSnowyLandscape", {"lightness_threshold", "lightness_multiplier"},
+     {"from_colorspace": "runs on RGB directly here"})
 _def("HistogramEqualization", set(),
      {"to_colorspace": "equalization is per-channel here (the "
                        "AllChannels form)",

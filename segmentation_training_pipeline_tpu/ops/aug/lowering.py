@@ -1535,6 +1535,40 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         imgs = ph.motion_blur(imgs, _sample(k1, kspec, b, 5.0),
                               _sample(k2, a.get("angle", [0, 360]), b),
                               radius=radius)
+    elif name == "medianpooling":
+        a = args if not isinstance(args, dict) else args.get("k", 2)
+        ok = (isinstance(a, (int, float)) and not isinstance(a, bool)
+              and float(a) == int(a) and int(a) >= 1)
+        if not ok:
+            raise ValueError(
+                f"MedianPooling k must be a static integer >= 1 here "
+                "(pooling windows are compile-time shapes); got "
+                f"{a!r} — see docs/schema.md deviations")
+        imgs = ph.median_pooling(imgs, int(a))
+    elif name == "bilateralblur":
+        a = args if isinstance(args, dict) else {"d": args}
+        dspec = a.get("d", 3)
+        try:
+            d_max = (float(dspec) if isinstance(dspec, (int, float))
+                     else max(float(v) for v in dspec))
+        except (TypeError, ValueError):
+            d_max = 9.0
+        # static tap window from the spec's max d; cap the radius at 5
+        # (121 taps) — cv2 itself warns d > 9 is offline-speed
+        max_r = int(min(max(0, int(d_max) // 2), 5))
+        k1, k2, k3 = jax.random.split(k, 3)
+        imgs = ph.bilateral_blur(
+            imgs, _sample(k1, dspec, b, 3.0),
+            _sample(k2, a.get("sigma_color", [10, 250]), b, 75.0),
+            _sample(k3, a.get("sigma_space", [10, 250]), b, 75.0),
+            max_radius=max_r)
+    elif name == "fastsnowylandscape":
+        a = args if isinstance(args, dict) else {}
+        k1, k2 = jax.random.split(k)
+        imgs = ph.fast_snowy_landscape(
+            imgs,
+            _sample(k1, a.get("lightness_threshold", [100, 255]), b, 140.0),
+            _sample(k2, a.get("lightness_multiplier", [1.0, 4.0]), b, 2.5))
     elif name == "medianblur":
         a = args if not isinstance(args, dict) else args.get("k", 3)
         if a is None:

@@ -8,6 +8,7 @@ uint8 conventions (operate in 0..255 space, clip at the end).
 
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax
@@ -898,3 +899,106 @@ def total_dropout(rng: Array, images: Array, p: Array) -> Array:
     b = images.shape[0]
     keep = (jax.random.uniform(rng, (b,)) >= p).astype(jnp.float32)
     return images * keep[:, None, None, None]
+
+
+def fast_snowy_landscape(images: Array, threshold: Array,
+                         multiplier: Array) -> Array:
+    """imgaug FastSnowyLandscape: convert to HLS, multiply the lightness
+    of every pixel whose L < ``threshold`` by ``multiplier`` (clipped to
+    255), convert back.  cv2 uint8 HLS scale: H in [0, 180), L/S in
+    [0, 255].  Only L changes, so hue and HLS-saturation are computed
+    once and the RGB is rebuilt from the standard sector formula —
+    achromatic pixels (C = 0) stay gray at the new lightness.
+    ``threshold``/``multiplier`` are (B,) samples (imgaug defaults
+    uniform (100, 255) / (1.0, 4.0))."""
+    r, g, b = images[..., 0], images[..., 1], images[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    c = mx - mn
+    safe_c = jnp.where(c > 0, c, 1.0)
+    hr = jnp.mod((g - b) / safe_c, 6.0)
+    hg = (b - r) / safe_c + 2.0
+    hb = (r - g) / safe_c + 4.0
+    hh = jnp.where(c > 0, jnp.where(mx == r, hr,
+                                    jnp.where(mx == g, hg, hb)), 0.0)
+    lsum = mx + mn                                     # = 2L, in [0, 510]
+    light = 0.5 * lsum
+    s_hls = jnp.where(c > 0,
+                      c / jnp.where(light <= 127.5,
+                                    jnp.maximum(lsum, 1.0),
+                                    jnp.maximum(510.0 - lsum, 1.0)),
+                      0.0)
+    thr = threshold[:, None, None]
+    mul = multiplier[:, None, None]
+    light = jnp.clip(jnp.where(light < thr, light * mul, light), 0.0, 255.0)
+    cc = (1.0 - jnp.abs(2.0 * light / 255.0 - 1.0)) * s_hls * 255.0
+    x = cc * (1.0 - jnp.abs(jnp.mod(hh, 2.0) - 1.0))
+    m0 = light - 0.5 * cc
+    zero = jnp.zeros_like(cc)
+    i = jnp.floor(hh).astype(jnp.int32) % 6
+    sect = [i == 0, i == 1, i == 2, i == 3, i == 4]
+    rr = jnp.select(sect, [cc, x, zero, zero, x], cc)
+    gg = jnp.select(sect, [x, cc, cc, x, zero], zero)
+    bb = jnp.select(sect, [zero, zero, x, cc, cc], x)
+    return jnp.stack([rr + m0, gg + m0, bb + m0], axis=-1)
+
+
+def median_pooling(images: Array, ksize: int) -> Array:
+    """imgaug MedianPooling with keep_size=True: median over k×k blocks
+    at stride k (edge-padded to a multiple of k), nearest-resized back.
+    Static ``ksize`` and blocky upsample — same deviations as
+    :func:`keep_size_pooling`.  Even k² medians average the middle two,
+    matching np.median under imgaug's block_reduce."""
+    b, h, w, c = images.shape
+    k = int(ksize)
+    if k <= 1:
+        return images
+    pad_h, pad_w = (-h) % k, (-w) % k
+    x = images
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                    mode="edge")
+    hb, wb = (h + pad_h) // k, (w + pad_w) // k
+    x = (x.reshape(b, hb, k, wb, k, c)
+          .transpose(0, 1, 3, 5, 2, 4)
+          .reshape(b, hb, wb, c, k * k))
+    srt = jnp.sort(x, axis=-1)
+    k2 = k * k
+    med = (srt[..., k2 // 2] if k2 % 2
+           else 0.5 * (srt[..., k2 // 2 - 1] + srt[..., k2 // 2]))
+    return jax.image.resize(med, (b, h, w, c), "nearest")
+
+
+def bilateral_blur(images: Array, d: Array, sigma_color: Array,
+                   sigma_space: Array, max_radius: int) -> Array:
+    """cv2/imgaug BilateralBlur: edge-preserving blur where each tap
+    weighs in as a spatial gaussian (``sigma_space``) times a range
+    gaussian of the L1 color distance to the center pixel
+    (``sigma_color`` — cv2's color_weight uses the summed per-channel
+    abs diff).  Lowered at a STATIC ``max_radius`` so per-image sampled
+    ``d`` stays jittable: taps with euclidean offset beyond the
+    per-image d//2 get zero spatial weight (cv2 keeps a circular
+    neighborhood).  The center tap always carries weight 1, so the
+    normalizer never vanishes.  ``d``/``sigma_color``/``sigma_space``
+    are (B,) samples."""
+    b, h, w, c = images.shape
+    radius = jnp.floor(jnp.floor(d) / 2.0)[:, None, None]          # (B,1,1)
+    sc = jnp.maximum(sigma_color, 1e-3)[:, None, None, None]       # (B,1,1,1)
+    ss = jnp.maximum(sigma_space, 1e-3)[:, None, None]             # (B,1,1)
+    rr = int(max_radius)
+    if rr <= 0:
+        return images
+    pad = jnp.pad(images, ((0, 0), (rr, rr), (rr, rr), (0, 0)), mode="edge")
+    num = jnp.zeros_like(images)
+    den = jnp.zeros((b, h, w, 1), jnp.float32)
+    for dy in range(-rr, rr + 1):
+        for dx in range(-rr, rr + 1):
+            tap = pad[:, rr + dy:rr + dy + h, rr + dx:rr + dx + w, :]
+            r2 = float(dy * dy + dx * dx)
+            w_s = (jnp.exp(-0.5 * r2 / (ss * ss))
+                   * (math.sqrt(r2) <= radius + 1e-6))             # (B,1,1)
+            dcol = jnp.abs(tap - images).sum(-1, keepdims=True)    # (B,H,W,1)
+            wgt = w_s[..., None] * jnp.exp(-0.5 * (dcol / sc) ** 2)
+            num = num + wgt * tap
+            den = den + wgt
+    return num / den

@@ -278,6 +278,11 @@ _AUG_ARGS = {
     "AdditiveLaplaceNoise": {"scale": [2, 10]},
     "GaussianBlur": {"sigma": [0.5, 2]}, "AverageBlur": {"k": [3, 7]},
     "MotionBlur": {"k": [3, 7], "angle": [0, 360]}, "MedianBlur": 3,
+    "MedianPooling": 2,
+    "BilateralBlur": {"d": [3, 9], "sigma_color": [20, 150],
+                      "sigma_space": [20, 150]},
+    "FastSnowyLandscape": {"lightness_threshold": [100, 255],
+                           "lightness_multiplier": [1.5, 3.0]},
     "CoarseDropout": {"p": 0.1, "size_percent": 0.1},
     "Cutout": {"nb_iterations": 2, "size": 0.2},
     "Dropout": 0.05, "Dropout2d": {"p": 0.5}, "TotalDropout": 0.5,
@@ -335,6 +340,7 @@ _AUG_ARGS = {
 _AUG_TOL_DEFAULT = 0.75
 _AUG_TOL = {}
 for _n in ("gaussianblur", "averageblur", "motionblur", "medianblur",
+           "medianpooling", "bilateralblur", "fastsnowylandscape",
            "sharpen", "emboss", "edgedetect", "averagepooling",
            "histogramequalization", "allchannelshistogramequalization",
            "clahe", "allchannelsclahe", "autocontrast",
