@@ -161,6 +161,9 @@ for name, aliases in [
     ("SomeOf", ()),
     ("OneOf", ()),
     ("WithChannels", ()),
+    ("WithHueAndSaturation", ()),
+    ("WithBrightnessChannels", ()),
+    ("WithColorspace", ()),
     # blend combinators (imgaug BlendAlpha family; pre-0.4 alias names)
     ("BlendAlpha", ("Alpha",)),
     ("BlendAlphaElementwise", ("AlphaElementwise",)),

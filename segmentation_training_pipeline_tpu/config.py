@@ -200,8 +200,7 @@ _KNOWN_UNSUPPORTED_AUGMENTERS = frozenset({
     "Superpixels", "Voronoi", "UniformVoronoi", "RegularGridVoronoi",
     "Canny", "Cartoon", "Jigsaw",
     "MeanShiftBlur", "DirectedEdgeDetect",
-    "ChangeColorspace", "WithColorspace", "WithHueAndSaturation",
-    "WithBrightnessChannels", "KMeansColorQuantization",
+    "ChangeColorspace", "KMeansColorQuantization",
     "AveragePool", "ElasticTransformationApprox",
     "Lambda", "AssertShape", "AssertLambda",
     "RelativeRegularGridVoronoi",
@@ -313,6 +312,23 @@ def _normalize_augmentation(spec) -> List[Dict[str, Any]]:
                     f"{{...}}}}, got {args!r}")
             args = dict(args)
             child = args.pop("children", None) or args.pop("then", None)
+            args["children"] = _normalize_augmentation(child)
+        elif low in ("withhueandsaturation", "withbrightnesschannels",
+                     "withcolorspace"):
+            if not isinstance(args, dict):
+                raise ConfigError(
+                    f"{name} expects {{children: {{...}}}}, got {args!r}")
+            args = dict(args)
+            if low == "withcolorspace":
+                cs = str(args.get("to_colorspace", "")).upper()
+                if cs != "HSV":
+                    raise ConfigError(
+                        "WithColorspace lowers only {to_colorspace: HSV} "
+                        f"here (got {args.get('to_colorspace')!r}) — see "
+                        "docs/schema.md")
+            child = args.pop("children", None) or args.pop("then", None)
+            if not child:
+                raise ConfigError(f"{name} needs a children: block")
             args["children"] = _normalize_augmentation(child)
         elif low in _BLEND_AUG_NAMES:
             if not isinstance(args, dict):

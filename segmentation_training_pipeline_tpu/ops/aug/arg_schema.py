@@ -236,6 +236,15 @@ _def("SomeOf", {"n", "children", "then"},
      {"random_order": "children apply in declaration order here — "
                       "remove it"})
 _def("WithChannels", {"channels", "children", "then"})
+_def("WithHueAndSaturation", {"children", "then"},
+     {"from_colorspace": "runs on RGB directly here"})
+_def("WithBrightnessChannels", {"children", "then"},
+     {"to_colorspaces": "the brightness channel is always HSV-V here "
+                        "(imgaug samples a colorspace per image) — see "
+                        "docs/schema.md deviations",
+      "from_colorspace": "runs on RGB directly here"})
+_def("WithColorspace", {"to_colorspace", "children", "then"},
+     {"from_colorspace": "runs on RGB directly here"})
 
 _BLEND_COMMON = {"foreground", "background", "first", "second",
                  "per_channel"}

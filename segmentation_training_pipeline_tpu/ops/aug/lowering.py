@@ -62,7 +62,18 @@ _BLEND = {"blendalpha", "alpha",
           "blendalphasimplexnoise", "simplexnoisealpha",
           "blendalphafrequencynoise", "frequencynoisealpha"}
 
-_META = {"sometimes", "someof", "oneof", "withchannels"} | _BLEND
+_META = {"sometimes", "someof", "oneof", "withchannels",
+         "withhueandsaturation", "withbrightnesschannels",
+         "withcolorspace"} | _BLEND
+
+# photometrics that hard-assume a 3-channel RGB image — rejected as
+# children of the colorspace-scoping combinators whose children see
+# 1 or 2 channels (H/S or a brightness plane)
+_RGB_ONLY_PHOTO = {"grayscale", "addtohueandsaturation",
+                   "multiplyhueandsaturation", "addtohue", "addtosaturation",
+                   "multiplyhue", "multiplysaturation", "removesaturation",
+                   "changecolortemperature", "fastsnowylandscape",
+                   "jpegcompression", "bilateralblur"}
 
 
 
@@ -1091,6 +1102,80 @@ def _make_meta(s: Dict[str, Any], integer_input: bool = True) -> Callable:
 
     if name in _BLEND:
         return _make_blend(s, integer_input=integer_input)
+
+    if name in ("withhueandsaturation", "withbrightnesschannels",
+                "withcolorspace"):
+        # imgaug colorspace-scoping combinators.  Children run on an
+        # UNCLIPPED photometric chain (build_augmentation's final
+        # 0..255 clip would break hue wrap-around: H−50 at H=20 must
+        # reach −30 before the mod-180), then the wrapper re-encodes:
+        # hue wraps mod 180, saturation/value clip to 0..255 — imgaug's
+        # int16 intermediate semantics in float.  Deviations
+        # (docs/schema.md): WithBrightnessChannels always scopes HSV-V
+        # (imgaug samples a colorspace per image); WithColorspace lowers
+        # to_colorspace: HSV only.
+        a = args if isinstance(args, dict) else {}
+        n_ch = {"withhueandsaturation": 2, "withbrightnesschannels": 1,
+                "withcolorspace": 3}[name]
+        if name == "withcolorspace":
+            cs = str(a.get("to_colorspace", "")).upper()
+            if cs != "HSV":
+                raise ValueError(
+                    "WithColorspace lowers only {to_colorspace: HSV} here "
+                    f"(got {a.get('to_colorspace')!r}) — other colorspaces "
+                    "are not implemented; see docs/schema.md")
+        child_spec = _coerce_block(a.get("children") or a.get("then"))
+        if not child_spec:
+            raise ValueError(
+                f"{s['name']} needs a {{children: {{...}}}} block")
+        for e in child_spec:
+            nm = e["name"].lower()
+            if nm in _GEOMETRIC or nm in _META:
+                raise ValueError(
+                    f"{s['name']} child {e['name']!r}: only photometric "
+                    "children are supported (geometric ones would warp "
+                    "the scoped channels away from the mask)")
+            if n_ch != 3 and nm in _RGB_ONLY_PHOTO:
+                raise ValueError(
+                    f"{s['name']} child {e['name']!r} assumes an RGB "
+                    f"image, but {s['name']} children see {n_ch} "
+                    "channel(s)")
+
+        def child(k: Array, imgs: Array, masks: Array):
+            keys = jax.random.split(k, len(child_spec))
+            for cs_, kk in zip(child_spec, keys):
+                imgs, masks = _apply_photo(cs_, kk, imgs, masks)
+            return imgs, masks
+
+        if name == "withhueandsaturation":
+            def fn(k: Array, imgs: Array, masks: Array):
+                base = jnp.clip(imgs.astype(jnp.float32), 0.0, 255.0)
+                h, s_, v = ph._rgb_to_hsv(base)
+                out, _ = child(k, jnp.stack([h, s_], axis=-1), masks)
+                return ph._hsv_to_rgb(jnp.mod(out[..., 0], 180.0),
+                                      jnp.clip(out[..., 1], 0.0, 255.0),
+                                      v), masks
+        elif name == "withbrightnesschannels":
+            def fn(k: Array, imgs: Array, masks: Array):
+                base = jnp.clip(imgs.astype(jnp.float32), 0.0, 255.0)
+                v = base.max(axis=-1, keepdims=True)
+                out, _ = child(k, v, masks)
+                out = jnp.clip(out, 0.0, 255.0)
+                # scaling V scales all channels (H and S_hsv invariant);
+                # achromatic black (V=0) brightens to gray
+                return jnp.where(v > 0, base * (out / jnp.maximum(v, 1e-6)),
+                                 jnp.broadcast_to(out, base.shape)), masks
+        else:
+            def fn(k: Array, imgs: Array, masks: Array):
+                base = jnp.clip(imgs.astype(jnp.float32), 0.0, 255.0)
+                h, s_, v = ph._rgb_to_hsv(base)
+                out, _ = child(k, jnp.stack([h, s_, v], axis=-1), masks)
+                return ph._hsv_to_rgb(jnp.mod(out[..., 0], 180.0),
+                                      jnp.clip(out[..., 1], 0.0, 255.0),
+                                      jnp.clip(out[..., 2], 0.0, 255.0)
+                                      ), masks
+
+        return fn
 
     if name == "withchannels":
         # imgaug WithChannels(channels, children): children see only the

@@ -318,6 +318,10 @@ _AUG_ARGS = {
     "SomeOf": {"n": [0, 2], "children": [{"Add": [-20, 20]},
                                          {"Multiply": [0.8, 1.2]}]},
     "WithChannels": {"channels": [0], "children": {"Add": [20, 40]}},
+    "WithHueAndSaturation": {"children": {"Add": [10, 30]}},
+    "WithBrightnessChannels": {"children": {"Multiply": [0.6, 0.9]}},
+    "WithColorspace": {"to_colorspace": "HSV",
+                       "children": {"Add": [5, 20]}},
     "BlendAlpha": {"factor": [0.2, 0.8], "foreground": {"Add": 40}},
     "BlendAlphaElementwise": {"factor": [0, 1], "foreground": {"Add": 40}},
     "BlendAlphaVerticalLinearGradient": {"foreground": {"Add": 40}},
@@ -362,7 +366,9 @@ for _n in ("elastictransformation", "elastictransform", "elastic",
            "clouds", "fog", "snowflakes", "rain",
            "sometimes", "someof", "blendalpha", "alpha",
            "blendalphaverticallineargradient",
-           "blendalphahorizontallineargradient", "withchannels"):
+           "blendalphahorizontallineargradient", "withchannels",
+           "withhueandsaturation", "withbrightnesschannels",
+           "withcolorspace"):
     _AUG_TOL[_n] = 6.0
 
 
