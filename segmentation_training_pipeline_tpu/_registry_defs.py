@@ -156,6 +156,13 @@ for name, aliases in [
     ("Rain", ()),
     ("ChangeColorTemperature", ()),
     ("UniformColorQuantization", ()),
+    # segmentation-style color augmenters (static seed capacity + one-hot
+    # matmul segment means — see ops/aug/segment.py; ex-do-not-lower)
+    ("Superpixels", ()),
+    ("UniformVoronoi", ()),
+    ("RegularGridVoronoi", ()),
+    ("RelativeRegularGridVoronoi", ()),
+    ("KMeansColorQuantization", ()),
     # meta-augmenters (children validated recursively at parse time)
     ("Sometimes", ()),
     ("SomeOf", ()),

@@ -224,6 +224,26 @@ _def("UniformColorQuantization", {"n_colors"},
       "from_colorspace": "runs on RGB directly here",
       "max_size": _STATIC_SHAPE,
       "counts": "use `n_colors`"})
+_SEG_INTERP = ("the segment maps are computed at the max_size downscale "
+               "and nearest-upsampled; compositing is at full resolution "
+               "(see docs/schema.md) — remove it")
+_def("Superpixels", {"p_replace", "n_segments", "max_size"},
+     {"interpolation": _SEG_INTERP})
+_def("UniformVoronoi", {"n_points", "p_replace", "max_size"},
+     {"interpolation": _SEG_INTERP})
+_def("RegularGridVoronoi",
+     {"n_rows", "n_cols", "p_drop_points", "p_replace", "max_size"},
+     {"interpolation": _SEG_INTERP})
+_def("RelativeRegularGridVoronoi",
+     {"n_rows_frac", "n_cols_frac", "p_drop_points", "p_replace",
+      "max_size"},
+     {"interpolation": _SEG_INTERP})
+_def("KMeansColorQuantization", {"n_colors", "max_size"},
+     {"to_colorspace": "clusters in RGB directly here",
+      "from_colorspace": "clusters in RGB directly here",
+      "counts": "use `n_colors`",
+      "interpolation": "the fitted palette is applied at full resolution "
+                       "here (no quantized-image resize) — remove it"})
 _def("Resize", {"size", "percent"},
      {"interpolation": _FIXED_INTERP}, aliases=("Scale",))
 
@@ -331,6 +351,15 @@ def _check_values(name: str, canon: str, args: Dict[str, Any]) -> None:
                 raise ValueError(
                     f"{name}: {dk} must be a static positive integer "
                     f"(XLA shapes are static), got {dv!r}")
+    if canon in ("superpixels", "uniformvoronoi", "regulargridvoronoi",
+                 "relativeregulargridvoronoi", "kmeanscolorquantization"):
+        ms = args.get("max_size", 128)
+        if ms is not None and (isinstance(ms, bool)
+                               or not isinstance(ms, int) or ms < 2):
+            raise ValueError(
+                f"{name}: max_size must be a static integer >= 2 or null "
+                f"(it sets a compile-time compute shape under XLA), "
+                f"got {ms!r}")
     if canon in ("affine", "rotate"):
         # the per-axis dict forms accept ONLY x/y — a typo'd axis key
         # ({sx: ...}) would silently default both axes

@@ -33,6 +33,7 @@ import numpy as np
 from . import fast_warp as FW
 from . import pallas_elastic as PE
 from . import photometric as ph
+from . import segment as sg
 from . import warp as W
 
 
@@ -927,6 +928,19 @@ def _sample_shape(rng: Array, spec: Any, shape: Tuple[int, ...],
     raise ValueError(f"cannot lower augmentation parameter {spec!r}")
 
 
+def _static_max_size(v: Any, disp: str):
+    """The Superpixels/Voronoi/KMeans ``max_size`` (imgaug default 128)
+    must be a STATIC int — it sets the downscaled compute shape.  ``null``
+    disables the downscale (imgaug max_size=None)."""
+    if v is None:
+        return None
+    if isinstance(v, bool) or not isinstance(v, int) or v < 2:
+        raise ValueError(
+            f"{disp}: max_size must be a static integer >= 2 or null "
+            f"(it sets a compile-time compute shape under XLA), got {v!r}")
+    return v
+
+
 def _sample_int(rng: Array, spec: Any, b: int,
                 default: int) -> Tuple[Array, int]:
     """Integer spec → ((B,) int32 samples, static max).  int = fixed,
@@ -1732,6 +1746,53 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         a = args if not isinstance(args, dict) else args.get("n_colors")
         imgs = ph.uniform_color_quantization(
             imgs, _sample(k, a if a is not None else [2, 16], b, 8.0))
+    elif name == "superpixels":
+        a = args if isinstance(args, dict) else {"p_replace": args}
+        ms = _static_max_size(a.get("max_size", 128), s["name"])
+        k1, k2, k3 = jax.random.split(k, 3)
+        nseg, nmax = _sample_int(k1, a.get("n_segments", 100), b, 100)
+        imgs = sg.superpixels(
+            k3, imgs, nseg, max(1, nmax),
+            _sample(k2, a.get("p_replace", 0.0), b, 0.0), ms)
+    elif name == "uniformvoronoi":
+        a = args if isinstance(args, dict) else {"n_points": args}
+        ms = _static_max_size(a.get("max_size", 128), s["name"])
+        k1, k2, k3 = jax.random.split(k, 3)
+        npts, nmax = _sample_int(k1, a.get("n_points", [50, 500]), b, 100)
+        imgs = sg.uniform_voronoi(
+            k3, imgs, npts, max(1, nmax),
+            _sample(k2, a.get("p_replace", [0.5, 1.0]), b, 1.0), ms)
+    elif name in ("regulargridvoronoi", "relativeregulargridvoronoi"):
+        a = args if isinstance(args, dict) else \
+            {"n_rows": args, "n_cols": args}
+        ms = _static_max_size(a.get("max_size", 128), s["name"])
+        k1, k2, k3, k4, k5 = jax.random.split(k, 5)
+        if name == "regulargridvoronoi":
+            rows, rmax = _sample_int(k1, a.get("n_rows", [10, 30]), b, 20)
+            cols, cmax = _sample_int(k2, a.get("n_cols", [10, 30]), b, 20)
+        else:
+            # fractions of the DOWNSCALED dims (static), so the seed
+            # capacity stays compile-time bounded — docs/schema.md
+            _, hs_, ws_ = sg._downscale(imgs, ms)
+            rf = a.get("n_rows_frac", [0.05, 0.15])
+            cf = a.get("n_cols_frac", [0.05, 0.15])
+            rows = jnp.maximum(jnp.round(
+                _sample(k1, rf, b, 0.1) * hs_), 1.0).astype(jnp.int32)
+            cols = jnp.maximum(jnp.round(
+                _sample(k2, cf, b, 0.1) * ws_), 1.0).astype(jnp.int32)
+            rmax = max(1, int(math.ceil(_static_bounds(rf, 0.1)[1] * hs_)))
+            cmax = max(1, int(math.ceil(_static_bounds(cf, 0.1)[1] * ws_)))
+        imgs = sg.regular_grid_voronoi(
+            k5, imgs, rows, cols, max(1, rmax), max(1, cmax),
+            _sample(k3, a.get("p_drop_points", 0.4), b, 0.4),
+            _sample(k4, a.get("p_replace", [0.5, 1.0]), b, 1.0), ms)
+    elif name == "kmeanscolorquantization":
+        a = args if isinstance(args, dict) else {"n_colors": args}
+        ms = _static_max_size(a.get("max_size", 128), s["name"])
+        k1, k2 = jax.random.split(k)
+        ncol, cmax = _sample_int(k1, a.get("n_colors", [2, 16]), b, 8)
+        imgs = sg.kmeans_color_quantization(k2, imgs, ncol,
+                                            max(2, cmax), ms)
     elif name in ("resize", "scale"):
         a = args if not isinstance(args, dict) else \
             args.get("size", args.get("percent", 1.0))

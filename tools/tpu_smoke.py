@@ -312,6 +312,17 @@ _AUG_ARGS = {
     "Snowflakes": None, "Rain": None,
     "ChangeColorTemperature": {"kelvin": [2000, 10000]},
     "UniformColorQuantization": {"n_colors": [4, 8]},
+    "Superpixels": {"p_replace": 0.7, "n_segments": [40, 80],
+                    "max_size": 64},
+    "UniformVoronoi": {"n_points": [50, 120], "p_replace": [0.5, 1.0],
+                       "max_size": 64},
+    "RegularGridVoronoi": {"n_rows": [8, 16], "n_cols": [8, 16],
+                           "p_drop_points": 0.3, "p_replace": 0.9,
+                           "max_size": 64},
+    "RelativeRegularGridVoronoi": {"n_rows_frac": [0.05, 0.15],
+                                   "n_cols_frac": [0.05, 0.15],
+                                   "p_replace": 0.9, "max_size": 64},
+    "KMeansColorQuantization": {"n_colors": [3, 8], "max_size": 64},
     "Sometimes": {"p": 0.5, "then": {"Add": [20, 40]},
                   "else": {"Multiply": [0.5, 0.8]}},
     "OneOf": [{"Fliplr": 1.0}, {"Flipud": 1.0}],
