@@ -163,6 +163,8 @@ for name, aliases in [
     ("RegularGridVoronoi", ()),
     ("RelativeRegularGridVoronoi", ()),
     ("KMeansColorQuantization", ()),
+    # joint image+mask grid-cell shuffle (static grid; ops/aug/jigsaw.py)
+    ("Jigsaw", ()),
     # meta-augmenters (children validated recursively at parse time)
     ("Sometimes", ()),
     ("SomeOf", ()),

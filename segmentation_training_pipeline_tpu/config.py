@@ -200,7 +200,7 @@ _KNOWN_UNSUPPORTED_AUGMENTERS = frozenset({
     "Voronoi",  # takes an arbitrary points_sampler OBJECT; the concrete
     # samplers ARE lowered: UniformVoronoi / RegularGridVoronoi /
     # RelativeRegularGridVoronoi
-    "Canny", "Cartoon", "Jigsaw",
+    "Canny", "Cartoon",
     "MeanShiftBlur", "DirectedEdgeDetect",
     "ChangeColorspace",
     "AveragePool", "ElasticTransformationApprox",

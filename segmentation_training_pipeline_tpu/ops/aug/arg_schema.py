@@ -238,6 +238,9 @@ _def("RelativeRegularGridVoronoi",
      {"n_rows_frac", "n_cols_frac", "p_drop_points", "p_replace",
       "max_size"},
      {"interpolation": _SEG_INTERP})
+_def("Jigsaw", {"nb_rows", "nb_cols", "max_steps"},
+     {"allow_pad": "the image always pads bottom/right to a cell multiple "
+                   "and crops back (static shapes) — remove it"})
 _def("KMeansColorQuantization", {"n_colors", "max_size"},
      {"to_colorspace": "clusters in RGB directly here",
       "from_colorspace": "clusters in RGB directly here",
@@ -351,6 +354,16 @@ def _check_values(name: str, canon: str, args: Dict[str, Any]) -> None:
                 raise ValueError(
                     f"{name}: {dk} must be a static positive integer "
                     f"(XLA shapes are static), got {dv!r}")
+    if canon == "jigsaw":
+        for dk in ("nb_rows", "nb_cols"):
+            dv = args.get(dk)
+            if dv is not None and (isinstance(dv, bool)
+                                   or not isinstance(dv, int) or dv < 1):
+                raise ValueError(
+                    f"{name}: {dk} must be a static integer >= 1 (the cell "
+                    "grid sets compile-time reshape shapes under XLA; "
+                    "imgaug's sampled grids can't lower) — see "
+                    f"docs/schema.md deviations; got {dv!r}")
     if canon in ("superpixels", "uniformvoronoi", "regulargridvoronoi",
                  "relativeregulargridvoronoi", "kmeanscolorquantization"):
         ms = args.get("max_size", 128)

@@ -31,6 +31,7 @@ import os
 import numpy as np
 
 from . import fast_warp as FW
+from . import jigsaw as jg
 from . import pallas_elastic as PE
 from . import photometric as ph
 from . import segment as sg
@@ -1793,6 +1794,24 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         ncol, cmax = _sample_int(k1, a.get("n_colors", [2, 16]), b, 8)
         imgs = sg.kmeans_color_quantization(k2, imgs, ncol,
                                             max(2, cmax), ms)
+    elif name == "jigsaw":
+        a = args if isinstance(args, dict) else {}
+        rows, cols = a.get("nb_rows", 5), a.get("nb_cols", 5)
+        for label, v in (("nb_rows", rows), ("nb_cols", cols)):
+            if isinstance(v, bool) or not isinstance(v, int) or v < 1:
+                raise ValueError(
+                    f"Jigsaw {label} must be a static integer >= 1 here "
+                    "(the cell grid sets compile-time reshape shapes under "
+                    f"XLA; imgaug's sampled grids can't lower), got {v!r} "
+                    "— see docs/schema.md deviations")
+        k1, k2 = jax.random.split(k)
+        steps, smax = _sample_int(k1, a.get("max_steps", [1, 5]), b, 2)
+        if smax > 64:
+            raise ValueError(
+                f"Jigsaw max_steps caps at 64 here (the swap chain unrolls "
+                f"statically), got max {smax}")
+        imgs, masks = jg.jigsaw(k2, imgs, masks, rows, cols, steps,
+                                max(1, smax))
     elif name in ("resize", "scale"):
         a = args if not isinstance(args, dict) else \
             args.get("size", args.get("percent", 1.0))

@@ -199,7 +199,7 @@ def test_known_unsupported_imgaug_names_get_pointed_error():
     from segmentation_training_pipeline_tpu.config import (ConfigError,
                                                            parse_dict)
 
-    for name in ("Voronoi", "Jigsaw", "BlendAlphaSomeColors",
+    for name in ("Voronoi", "Cartoon", "BlendAlphaSomeColors",
                  "Canny", "pillike.Autocontrast"):
         with pytest.raises(ConfigError, match="schema.md"):
             parse_dict({"architecture": "Unet", "backbone": "resnet18",

@@ -323,6 +323,7 @@ _AUG_ARGS = {
                                    "n_cols_frac": [0.05, 0.15],
                                    "p_replace": 0.9, "max_size": 64},
     "KMeansColorQuantization": {"n_colors": [3, 8], "max_size": 64},
+    "Jigsaw": {"nb_rows": 4, "nb_cols": 4, "max_steps": [1, 4]},
     "Sometimes": {"p": 0.5, "then": {"Add": [20, 40]},
                   "else": {"Multiply": [0.5, 0.8]}},
     "OneOf": [{"Fliplr": 1.0}, {"Flipud": 1.0}],
