@@ -78,7 +78,12 @@ def _chunked_argmin(feats: Array, seeds: Array, valid: Array) -> Array:
     for s in range(0, p, _SEED_CHUNK):
         sc = seeds[:, s:s + _SEED_CHUNK]                        # (B, p', F)
         vc = valid[:, s:s + _SEED_CHUNK]
+        # precision=HIGHEST: the MXU's default bf16 input rounding is
+        # catastrophic here — squared distances reach ~65k and near-tie
+        # argmins flip vs the f32 CPU lowering, recoloring whole cells
+        # (caught by tpu_smoke --aug on-chip; PERF.md matmul-precision trap).
         cross = jnp.einsum("bnf,bpf->bnp", feats, sc,
+                           precision=jax.lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32)
         d = (fn2[..., None] - 2.0 * cross
              + jnp.sum(sc * sc, axis=-1)[:, None, :])
@@ -104,7 +109,10 @@ def _segment_means(assign: Array, values: Array,
         pc = min(_SEED_CHUNK, p - s)
         oh = (assign[..., None] == (jnp.arange(pc, dtype=jnp.int32) + s)
               ).astype(jnp.float32)                             # (B, N, pc)
+        # precision=HIGHEST: bf16-rounded pixel values (~0.4% rel err at
+        # 255) would shift segment means ~1/255 vs the CPU reference.
         sums.append(jnp.einsum("bnp,bnc->bpc", oh, values,
+                               precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32))
         counts.append(jnp.sum(oh, axis=1))
     sums = jnp.concatenate(sums, axis=1)
