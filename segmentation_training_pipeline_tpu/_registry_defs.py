@@ -112,6 +112,10 @@ for name, aliases in [
     ("CoarseSalt", ()),
     ("CoarsePepper", ()),
     ("AdditiveLaplaceNoise", ()),
+    ("DirectedEdgeDetect", ()),
+    ("Canny", ()),
+    ("ChangeColorspace", ()),
+    ("MeanShiftBlur", ()),
     ("AddToHue", ()),
     ("AddToSaturation", ()),
     ("MultiplyHue", ()),
@@ -182,6 +186,8 @@ for name, aliases in [
     ("BlendAlphaCheckerboard", ()),
     ("BlendAlphaSimplexNoise", ("SimplexNoiseAlpha",)),
     ("BlendAlphaFrequencyNoise", ("FrequencyNoiseAlpha",)),
+    ("BlendAlphaSomeColors", ()),
+    ("BlendAlphaSegMapClassIds", ()),
 ]:
     AUGMENTERS.register(name, name, aliases=aliases)
 

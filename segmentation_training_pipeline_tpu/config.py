@@ -200,16 +200,13 @@ _KNOWN_UNSUPPORTED_AUGMENTERS = frozenset({
     "Voronoi",  # takes an arbitrary points_sampler OBJECT; the concrete
     # samplers ARE lowered: UniformVoronoi / RegularGridVoronoi /
     # RelativeRegularGridVoronoi
-    "Canny", "Cartoon",
-    "MeanShiftBlur", "DirectedEdgeDetect",
-    "ChangeColorspace",
+    "Cartoon",  # cv2-composite stylization chain, host-speed
     "AveragePool", "ElasticTransformationApprox",
     "Lambda", "AssertShape", "AssertLambda",
-    # blend mask generators that need data-dependent inputs (color
-    # clustering / arbitrary user masks); the 8 core BlendAlpha* variants
-    # ARE lowered (see the augmenter registry)
-    "BlendAlphaSomeColors", "BlendAlphaMask", "BlendAlphaSegMapClassIds",
-    "BlendAlphaBoundingBoxes",
+    # blend mask generators that need inputs this pipeline does not carry
+    # (arbitrary user mask objects / bounding-box targets); SomeColors and
+    # SegMapClassIds ARE lowered (hue-bin table / the pipeline's own mask)
+    "BlendAlphaMask", "BlendAlphaBoundingBoxes",
 })
 _UNSUPPORTED_AUG_PREFIXES = ("pillike", "imgcorruptlike")
 
@@ -221,6 +218,7 @@ _BLEND_AUG_NAMES = frozenset({
     "blendalpharegulargrid", "blendalphacheckerboard",
     "blendalphasimplexnoise", "simplexnoisealpha",
     "blendalphafrequencynoise", "frequencynoisealpha",
+    "blendalphasomecolors", "blendalphasegmapclassids",
 })
 
 

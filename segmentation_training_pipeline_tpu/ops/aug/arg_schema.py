@@ -172,6 +172,21 @@ _def("AdditiveLaplaceNoise", {"scale", "per_channel"},
      {"loc": "a non-zero noise mean is not lowered — compose with "
              "`Add: <loc>`"})
 _def("EdgeDetect", {"alpha"})
+_def("DirectedEdgeDetect", {"alpha", "direction"})
+_def("Canny",
+     {"alpha", "hysteresis_thresholds", "sobel_kernel_size",
+      "hysteresis_iters"},
+     {"colorizer": "arbitrary colorizer OBJECTS cannot enter a jitted "
+                   "pipeline; imgaug's default random-colors colorizer is "
+                   "built in (one uniform edge color + one background "
+                   "color per image)"})
+_def("ChangeColorspace", {"to_colorspace", "alpha"},
+     {"from_colorspace": "runs on RGB directly here",
+      "children": "ChangeColorspace converts the OUTPUT image; use "
+                  "WithColorspace for scoped child edits"})
+_def("MeanShiftBlur", {"spatial_radius", "color_radius"},
+     {"spatial_window_radius": "the imgaug 0.4 name is `spatial_radius`",
+      "color_window_radius": "the imgaug 0.4 name is `color_radius`"})
 _def("AveragePooling", {"k", "keep_size"})
 _def("MaxPooling", {"k", "keep_size"})
 _def("MinPooling", {"k", "keep_size"})
@@ -291,6 +306,16 @@ _def("BlendAlphaSimplexNoise", _BLEND_COMMON | {"sigmoid", "sigmoid_thresh"},
 _def("BlendAlphaFrequencyNoise",
      _BLEND_COMMON | {"exponent", "sigmoid", "sigmoid_thresh"},
      _NOISE_UNSUP, aliases=("FrequencyNoiseAlpha",))
+_def("BlendAlphaSomeColors",
+     _BLEND_COMMON | {"nb_bins", "smoothness", "alpha", "rotation_deg"},
+     {"from_colorspace": "hue is computed from the RGB input directly",
+      "to_colorspace": "hue is computed from the RGB input directly"})
+_def("BlendAlphaSegMapClassIds", _BLEND_COMMON | {"class_ids"},
+     {"nb_sample_classes": "the class-id set is static here — list the "
+                           "ids explicitly",
+      "segmentation_maps": "the pipeline's OWN training mask is the "
+                           "segmentation map (id 0 = background, i >= 1 = "
+                           "mask channel i-1)"})
 
 
 def schema_for(name: str) -> Optional[Tuple[Set[str], Dict[str, str]]]:
@@ -373,6 +398,39 @@ def _check_values(name: str, canon: str, args: Dict[str, Any]) -> None:
                 f"{name}: max_size must be a static integer >= 2 or null "
                 f"(it sets a compile-time compute shape under XLA), "
                 f"got {ms!r}")
+    if canon == "canny":
+        sk = args.get("sobel_kernel_size")
+        if sk is not None and (isinstance(sk, bool) or sk not in (3, 5, 7)):
+            raise ValueError(
+                f"{name}: sobel_kernel_size must be a static 3, 5 or 7 "
+                "(conv kernels are compile-time shapes; imgaug's sampled "
+                f"sizes can't lower), got {sk!r} — see docs/schema.md")
+        it = args.get("hysteresis_iters")
+        if it is not None and (isinstance(it, bool)
+                               or not isinstance(it, int) or it < 1):
+            raise ValueError(
+                f"{name}: hysteresis_iters must be a static integer >= 1 "
+                f"(bounded edge-propagation rounds), got {it!r}")
+    if canon == "changecolorspace":
+        cs = args.get("to_colorspace")
+        if cs is not None and (not isinstance(cs, str) or cs.upper()
+                               not in ("RGB", "BGR", "GRAY", "HSV", "HLS",
+                                       "YCRCB")):
+            raise ValueError(
+                f"{name}: to_colorspace must be one static name of "
+                f"RGB/BGR/GRAY/HSV/HLS/YCrCb (got {cs!r}); imgaug's "
+                "per-image colorspace lists and Lab/Luv/CIE are not "
+                "lowered — see docs/schema.md")
+    if canon == "blendalphasegmapclassids":
+        ids = args.get("class_ids")
+        if ids is not None:
+            idl = ids if isinstance(ids, (list, tuple)) else [ids]
+            for i in idl:
+                if isinstance(i, bool) or not isinstance(i, int) or i < 0:
+                    raise ValueError(
+                        f"{name}: class_ids must be static non-negative "
+                        f"integers (0 = background, i >= 1 = mask channel "
+                        f"i-1), got {i!r}")
     if canon in ("affine", "rotate"):
         # the per-axis dict forms accept ONLY x/y — a typo'd axis key
         # ({sx: ...}) would silently default both axes

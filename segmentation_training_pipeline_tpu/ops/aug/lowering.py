@@ -62,7 +62,8 @@ _BLEND = {"blendalpha", "alpha",
           "blendalphahorizontallineargradient",
           "blendalpharegulargrid", "blendalphacheckerboard",
           "blendalphasimplexnoise", "simplexnoisealpha",
-          "blendalphafrequencynoise", "frequencynoisealpha"}
+          "blendalphafrequencynoise", "frequencynoisealpha",
+          "blendalphasomecolors", "blendalphasegmapclassids"}
 
 _META = {"sometimes", "someof", "oneof", "withchannels",
          "withhueandsaturation", "withbrightnesschannels",
@@ -75,7 +76,8 @@ _RGB_ONLY_PHOTO = {"grayscale", "addtohueandsaturation",
                    "multiplyhueandsaturation", "addtohue", "addtosaturation",
                    "multiplyhue", "multiplysaturation", "removesaturation",
                    "changecolortemperature", "fastsnowylandscape",
-                   "jpegcompression", "bilateralblur"}
+                   "jpegcompression", "bilateralblur",
+                   "canny", "changecolorspace"}
 
 
 
@@ -968,7 +970,9 @@ _BLEND_CANON = {"alpha": "blendalpha",
 
 
 def _blend_alpha_map(name: str, a: Dict[str, Any], k: Array, b: int, h: int,
-                     w: int, c: int, per_ch: bool) -> Array:
+                     w: int, c: int, per_ch: bool,
+                     base_img: Optional[Array] = None,
+                     masks: Optional[Array] = None) -> Array:
     """The per-variant alpha map in [0, 1], broadcastable to (B, H, W, C).
 
     imgaug mask-generator semantics (docs/schema.md lists deviations):
@@ -986,6 +990,11 @@ def _blend_alpha_map(name: str, a: Dict[str, Any], k: Array, b: int, h: int,
         the reference's simplex noise; same blob statistics).
       * FrequencyNoise: white noise shaped by f^exponent in the Fourier
         domain (XLA FFT), min-max normalized per image.
+      * SomeColors: per-HUE-BIN binary alphas, circularly smoothed,
+        looked up per pixel from the INPUT image's hue (``base_img``).
+      * SegMapClassIds: alpha = 1 where the pipeline's own segmentation
+        MASK carries one of ``class_ids`` (id 0 = background/no channel,
+        id i>=1 = mask channel i−1 — docs/schema.md).
     """
     if name == "blendalpha":
         spec = a.get("factor", a.get("alpha"))
@@ -1064,6 +1073,64 @@ def _blend_alpha_map(name: str, a: Dict[str, Any], k: Array, b: int, h: int,
             th = _sample(kt, a.get("sigmoid_thresh", [0.4, 0.6]), b)
             al = jax.nn.sigmoid(10.0 * (al - th[:, None, None]))
         return al[..., None]
+    if name == "blendalphasomecolors":
+        # imgaug SomeColorsMaskGen: quantize the image's hue into nb_bins
+        # bins (after a random hue rotation), draw one alpha per bin
+        # (default a fair 0/1 coin), smooth the bin table circularly by
+        # ``smoothness``, then look each pixel's alpha up from its bin.
+        # Gaussian bin smoothing with sigma = smoothness·nb_bins/3 is a
+        # documented approximation of imgaug's kernel (docs/schema.md).
+        kr, kn, ka_, ks_ = jax.random.split(k, 4)
+        nb, nbmax = _sample_int(kn, a.get("nb_bins", [5, 15]), b, 10)
+        nbmax = min(max(nbmax, 1), 256)
+        nbf = jnp.clip(nb, 1, nbmax).astype(jnp.float32)[:, None]  # (B,1)
+        rot = _sample(kr, a.get("rotation_deg", [0, 360]), b) * 0.5
+        hue, _, _ = ph._rgb_to_hsv(jnp.clip(base_img, 0.0, 255.0))
+        hb = jnp.mod(hue + rot[:, None, None], 180.0)
+        bins = jnp.minimum(jnp.floor(hb / 180.0 * nbf[..., None]),
+                           nbf[..., None] - 1.0).astype(jnp.int32)
+        spec = a.get("alpha")
+        if spec is None:
+            table = jax.random.bernoulli(ka_, 0.5,
+                                         (b, nbmax)).astype(jnp.float32)
+        else:
+            table = _sample_shape(ka_, spec, (b, nbmax))
+        smooth = _sample(ks_, a.get("smoothness", [0.1, 0.3]), b)
+        ii = jnp.arange(nbmax, dtype=jnp.float32)
+        d = jnp.abs(ii[None, :, None] - ii[None, None, :])          # (1,N,N)
+        d = jnp.minimum(d, nbf[..., None] - d)                      # circular
+        sig = jnp.maximum(smooth[:, None, None] * nbf[..., None] / 3.0,
+                          1e-3)
+        wgt = jnp.exp(-0.5 * jnp.square(d / sig))
+        valid = ((ii[None, :, None] < nbf[..., None])
+                 & (ii[None, None, :] < nbf[..., None]))
+        wgt = jnp.where(valid, wgt, 0.0)
+        wgt = wgt / jnp.maximum(wgt.sum(axis=2, keepdims=True), 1e-6)
+        table = jnp.einsum("bij,bj->bi", wgt, table)
+        al = jnp.take_along_axis(table, bins.reshape(b, -1), axis=1)
+        return al.reshape(b, h, w, 1)
+    if name == "blendalphasegmapclassids":
+        ids = a.get("class_ids")
+        if ids is None:
+            raise ValueError(
+                "BlendAlphaSegMapClassIds needs {class_ids: int | [ints]}")
+        ids = [int(i) for i in (ids if isinstance(ids, (list, tuple))
+                                else [ids])]
+        mc = masks.shape[-1]
+        m = masks.astype(jnp.float32)
+        sel = jnp.zeros((b, h, w, 1), jnp.float32)
+        for i in ids:
+            if i == 0:   # background: no channel set
+                sel = jnp.maximum(sel, 1.0 - jnp.minimum(
+                    m.sum(axis=-1, keepdims=True), 1.0))
+            elif 1 <= i <= mc:
+                sel = jnp.maximum(sel, m[..., i - 1:i])
+            else:
+                raise ValueError(
+                    f"BlendAlphaSegMapClassIds: class id {i} out of range "
+                    f"for a {mc}-channel mask (0 = background, 1..{mc} = "
+                    "mask channels)")
+        return sel
     raise KeyError(f"blend augmenter {name!r} has no lowering")
 
 
@@ -1095,7 +1162,8 @@ def _make_blend(s: Dict[str, Any], integer_input: bool = True) -> Callable:
         base_i = jnp.clip(imgs.astype(jnp.float32), 0.0, 255.0)
         fi, fm = fg(kf, imgs, masks) if fg else (base_i, masks)
         bi, bm = bg(kb, imgs, masks) if bg else (base_i, masks)
-        al = _blend_alpha_map(name, a, ka, b, h, w, c, per_ch)
+        al = _blend_alpha_map(name, a, ka, b, h, w, c, per_ch,
+                              base_img=base_i, masks=masks)
         out_i = al * fi + (1.0 - al) * bi
         am = al.mean(axis=-1, keepdims=True) if al.shape[-1] != 1 else al
         out_m = jnp.where(am >= 0.5, fm, bm)
@@ -1610,6 +1678,65 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         a = args if not isinstance(args, dict) else args.get("alpha",
                                                              [0.0, 0.75])
         imgs = ph.edge_detect(imgs, _sample(k, a, b))
+    elif name == "directededgedetect":
+        a = args if isinstance(args, dict) else {"alpha": args}
+        k1, k2 = jax.random.split(k)
+        imgs = ph.directed_edge_detect(
+            imgs, _sample(k1, a.get("alpha", [0.0, 0.75]), b),
+            _sample(k2, a.get("direction", [0.0, 1.0]), b))
+    elif name == "changecolorspace":
+        a = args if isinstance(args, dict) else {"to_colorspace": args}
+        cs = a.get("to_colorspace")
+        if not isinstance(cs, str) or cs.upper() not in (
+                "RGB", "BGR", "GRAY", "HSV", "HLS", "YCRCB"):
+            raise ValueError(
+                "ChangeColorspace to_colorspace must be one static name of "
+                f"RGB/BGR/GRAY/HSV/HLS/YCrCb here (got {cs!r}); imgaug's "
+                "per-image colorspace lists and Lab/Luv/CIE are not "
+                "lowered — see docs/schema.md")
+        imgs = ph.change_colorspace(imgs, cs,
+                                    _sample(k, a.get("alpha", 1.0), b, 1.0))
+    elif name == "canny":
+        a = args if isinstance(args, dict) else {"alpha": args}
+        sk = a.get("sobel_kernel_size", 3)
+        if isinstance(sk, bool) or sk not in (3, 5, 7):
+            raise ValueError(
+                "Canny sobel_kernel_size must be a static 3, 5 or 7 here "
+                f"(conv kernels are compile-time shapes; imgaug's sampled "
+                f"sizes can't lower), got {sk!r} — see docs/schema.md")
+        it = a.get("hysteresis_iters", 16)
+        if isinstance(it, bool) or not isinstance(it, int) or it < 1:
+            raise ValueError(
+                f"Canny hysteresis_iters must be a static integer >= 1 "
+                f"(bounded edge propagation rounds), got {it!r}")
+        ht = a.get("hysteresis_thresholds")
+        if ht is None:
+            lo_spec, hi_spec = [60, 140], [160, 240]
+        elif (isinstance(ht, (list, tuple)) and len(ht) == 2
+              and all(isinstance(e, (list, tuple)) for e in ht)):
+            lo_spec, hi_spec = ht[0], ht[1]
+        else:
+            lo_spec = hi_spec = ht   # one spec, both draws (sorted inside)
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        imgs = ph.canny(k4, imgs, _sample(k1, a.get("alpha", [0.0, 1.0]), b),
+                        _sample(k2, lo_spec, b), _sample(k3, hi_spec, b),
+                        sobel_k=int(sk), hysteresis_iters=it)
+    elif name == "meanshiftblur":
+        a = args if isinstance(args, dict) else {"spatial_radius": args}
+        srspec = a.get("spatial_radius", [5.0, 40.0])
+        # static tap window like BilateralBlur: cap the radius at 5
+        # (121 taps x 5 rounds); cv2's 40 px windows are offline-speed
+        try:
+            sr_max = (float(srspec) if isinstance(srspec, (int, float))
+                      else max(float(v) for v in srspec))
+        except (TypeError, ValueError):
+            sr_max = 5.0
+        max_r = int(min(max(1, int(sr_max)), 5))
+        k1, k2 = jax.random.split(k)
+        imgs = ph.mean_shift_blur(
+            imgs, jnp.minimum(_sample(k1, srspec, b, 5.0), float(max_r)),
+            _sample(k2, a.get("color_radius", [5.0, 40.0]), b, 10.0),
+            max_radius=max_r)
     elif name in ("averagepooling", "maxpooling", "minpooling"):
         a = args if not isinstance(args, dict) else args.get("k", 2)
         ok = (isinstance(a, (int, float)) and not isinstance(a, bool)

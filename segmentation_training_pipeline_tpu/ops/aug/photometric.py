@@ -1002,3 +1002,225 @@ def bilateral_blur(images: Array, d: Array, sigma_color: Array,
             num = num + wgt * tap
             den = den + wgt
     return num / den
+
+
+def directed_edge_detect(images: Array, alpha: Array,
+                         direction: Array) -> Array:
+    """imgaug DirectedEdgeDetect: per-image 3x3 kernel whose 8 neighbor
+    cells weigh in by angular similarity to the target direction
+    (``direction`` in [0, 1] ~ [0, 360) deg, 0 pointing up), normalized,
+    negated, center 1; blended with the identity kernel by ``alpha`` and
+    convolved (reflect-101 border, cv2.filter2D's default).  Published
+    imgaug algorithm (augmenters/convolutional.py): similarity per cell =
+    (1 − angle(cell, dir)/180°)⁴.  NOT hysteresis-based (the do-not-lower
+    justification it shipped under through r5 was wrong — SURVEY §2b
+    imgaug row)."""
+    # imgaug truncates to whole degrees: deg = int(direction·360) % 360
+    deg = jnp.mod(jnp.floor(direction * 360.0), 360.0)
+    rad = deg * (math.pi / 180.0) - 0.5 * math.pi
+    dvec = jnp.stack([jnp.cos(rad), jnp.sin(rad)], axis=-1)        # (B, 2)
+    cells = np.array([(x_, y_) for y_ in (-1, 0, 1) for x_ in (-1, 0, 1)
+                      if (x_, y_) != (0, 0)], np.float32)          # (8, 2)
+    cells_u = jnp.asarray(cells / np.linalg.norm(cells, axis=1,
+                                                 keepdims=True))
+    cosang = jnp.clip(cells_u @ dvec.T, -1.0, 1.0).T               # (B, 8)
+    sim = (1.0 - jnp.arccos(cosang) / math.pi) ** 4
+    sim = sim / jnp.sum(sim, axis=1, keepdims=True)
+    # scatter the 8 similarities back into (B, 3, 3) around center 1
+    flat = jnp.concatenate([-sim[:, :4],
+                            jnp.ones((sim.shape[0], 1), jnp.float32),
+                            -sim[:, 4:]], axis=1)                  # (B, 9)
+    eff = flat.reshape(-1, 3, 3)
+    ident = jnp.zeros((3, 3), jnp.float32).at[1, 1].set(1.0)
+    a = alpha[:, None, None]
+    kern = (1.0 - a) * ident[None] + a * eff
+
+    def one(img, kk):
+        return _depthwise3x3(img, kk)
+
+    return jax.vmap(one)(images, kern)
+
+
+def _rgb_to_hls(images: Array) -> Tuple[Array, Array, Array]:
+    """cv2 uint8 HLS: H in [0, 180), L and S in [0, 255]."""
+    r, g, b = images[..., 0], images[..., 1], images[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    c = mx - mn
+    safe_c = jnp.where(c > 0, c, 1.0)
+    hr = jnp.mod((g - b) / safe_c, 6.0)
+    hg = (b - r) / safe_c + 2.0
+    hb = (r - g) / safe_c + 4.0
+    hh = jnp.where(c > 0, jnp.where(mx == r, hr,
+                                    jnp.where(mx == g, hg, hb)), 0.0)
+    h = hh * 30.0                                                   # [0, 180)
+    lsum = mx + mn                                                  # = 2L
+    light = 0.5 * lsum
+    s = jnp.where(c > 0,
+                  c / jnp.where(light <= 127.5,
+                                jnp.maximum(lsum, 1.0),
+                                jnp.maximum(510.0 - lsum, 1.0)),
+                  0.0) * 255.0
+    return h, light, s
+
+
+def change_colorspace(images: Array, to_colorspace: str,
+                      alpha: Array) -> Array:
+    """imgaug ChangeColorspace: re-encode the image INTO ``to_colorspace``
+    (the 3 channels then carry that space's components, cv2 uint8 scale:
+    H in [0, 180), everything else 0..255) and alpha-blend with the
+    original: ``alpha·converted + (1−alpha)·rgb``.  GRAY tiles the
+    luminance to 3 channels like imgaug does.  Lab/Luv/CIE are rejected
+    at parse (nonlinear reference-white pipelines, not lowered)."""
+    cs = to_colorspace.upper()
+    if cs == "RGB":
+        return images
+    if cs == "BGR":
+        conv = images[..., ::-1]
+    elif cs == "GRAY":
+        lum = (0.299 * images[..., 0] + 0.587 * images[..., 1]
+               + 0.114 * images[..., 2])[..., None]
+        conv = jnp.broadcast_to(lum, images.shape)
+    elif cs == "HSV":
+        h, s, v = _rgb_to_hsv(images)
+        conv = jnp.stack([h, s, v], axis=-1)
+    elif cs == "HLS":
+        h, li, s = _rgb_to_hls(images)
+        conv = jnp.stack([h, li, s], axis=-1)
+    elif cs == "YCRCB":
+        y = (0.299 * images[..., 0] + 0.587 * images[..., 1]
+             + 0.114 * images[..., 2])
+        cr = (images[..., 0] - y) * 0.713 + 128.0
+        cb = (images[..., 2] - y) * 0.564 + 128.0
+        conv = jnp.stack([y, cr, cb], axis=-1)
+    else:  # pragma: no cover — parse-time validation rejects first
+        raise ValueError(f"ChangeColorspace: unsupported {to_colorspace!r}")
+    a = alpha[:, None, None, None]
+    return a * conv + (1.0 - a) * images
+
+
+def canny(rng: Array, images: Array, alpha: Array, lo: Array, hi: Array,
+          sobel_k: int = 3, hysteresis_iters: int = 16) -> Array:
+    """imgaug Canny: binary edge map, random-color colorized, alpha-blended
+    over the image (imgaug's default RandomColorsBinaryImageColorizer
+    draws one uniform color for edge pixels and one for the rest, per
+    image).
+
+    The edge map is the Canny chain on ITU-R 601 luminance: sobel
+    (static aperture 3/5/7), L1 gradient magnitude (cv2's default),
+    4-sector non-maximum suppression, double threshold, and hysteresis
+    lowered as ``hysteresis_iters`` static rounds of propagate-through-
+    weak (3x3 dilation AND weak mask) — XLA cannot run cv2's unbounded
+    flood fill, so very long weak chains (> iters px) stay unlinked.
+    Deviations vs cv2 (docs/schema.md): luminance input (cv2 takes the
+    max-magnitude channel), >=-tie NMS, bounded hysteresis."""
+    b, h, w, _ = images.shape
+    lum = (0.299 * images[..., 0] + 0.587 * images[..., 1]
+           + 0.114 * images[..., 2])[..., None]                    # (B,H,W,1)
+    if sobel_k == 3:
+        d1 = np.array([-1.0, 0.0, 1.0], np.float32)
+        sm = np.array([1.0, 2.0, 1.0], np.float32)
+    elif sobel_k == 5:
+        d1 = np.array([-1.0, -2.0, 0.0, 2.0, 1.0], np.float32)
+        sm = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32)
+    else:  # 7
+        d1 = np.array([-1.0, -4.0, -5.0, 0.0, 5.0, 4.0, 1.0], np.float32)
+        sm = np.array([1.0, 6.0, 15.0, 20.0, 15.0, 6.0, 1.0], np.float32)
+    kx = jnp.asarray(np.outer(sm, d1))          # d/dx: smooth y, diff x
+    ky = jnp.asarray(np.outer(d1, sm))          # d/dy: smooth x, diff y
+    r = sobel_k // 2
+
+    def conv2(img, k2):
+        c = img.shape[-1]
+        kern = jnp.tile(k2[:, :, None, None], (1, 1, 1, c))
+        pad = jnp.pad(img, ((r, r), (r, r), (0, 0)), mode="reflect")
+        # precision=HIGHEST: the MXU's default bf16 input rounding nudges
+        # gradient magnitudes, near-tie NMS comparisons flip vs the f32
+        # CPU lowering, and every flipped edge pixel recolors full-range
+        # (caught by tpu_smoke --aug on-chip — same trap as segment.py)
+        return jax.lax.conv_general_dilated(
+            pad[None], kern, (1, 1), "VALID", feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+
+    gx = jax.vmap(lambda im: conv2(im, kx))(lum)[..., 0]           # (B,H,W)
+    gy = jax.vmap(lambda im: conv2(im, ky))(lum)[..., 0]
+    mag = jnp.abs(gx) + jnp.abs(gy)                                # cv2 L1
+    # 4-sector NMS: sector from the gradient angle, compare the two
+    # neighbors along it (ties keep the pixel)
+    ang = jnp.arctan2(gy, gx)                                      # (-pi, pi]
+    sec = jnp.mod(jnp.round(ang / (math.pi / 4.0)), 4.0)           # 0..3
+    pm = jnp.pad(mag, ((0, 0), (1, 1), (1, 1)))
+    nb = {
+        0: (pm[:, 1:-1, 2:], pm[:, 1:-1, :-2]),     # E/W
+        1: (pm[:, 2:, 2:], pm[:, :-2, :-2]),        # SE/NW (y down)
+        2: (pm[:, 2:, 1:-1], pm[:, :-2, 1:-1]),     # S/N
+        3: (pm[:, 2:, :-2], pm[:, :-2, 2:]),        # SW/NE
+    }
+    keep = jnp.zeros_like(mag, dtype=bool)
+    for s_, (n1, n2) in nb.items():
+        keep = keep | ((sec == s_) & (mag >= n1) & (mag >= n2))
+    nms = jnp.where(keep, mag, 0.0)
+    lo_ = jnp.minimum(lo, hi)[:, None, None]
+    hi_ = jnp.maximum(lo, hi)[:, None, None]
+    strong = nms > hi_
+    weak = nms > lo_
+
+    def dilate(x):
+        return jax.lax.reduce_window(
+            x.astype(jnp.float32), 0.0, jax.lax.max,
+            (1, 3, 3), (1, 1, 1), "SAME") > 0.5
+
+    def body(_, e):
+        return weak & dilate(e) | e
+
+    edges = jax.lax.fori_loop(0, int(hysteresis_iters), body, strong)
+    k1, k2 = jax.random.split(rng)
+    col_t = jax.random.uniform(k1, (b, 1, 1, 3), minval=0.0, maxval=256.0)
+    col_f = jax.random.uniform(k2, (b, 1, 1, 3), minval=0.0, maxval=256.0)
+    colorized = jnp.where(edges[..., None], jnp.floor(col_t),
+                          jnp.floor(col_f))
+    a = alpha[:, None, None, None]
+    return a * colorized + (1.0 - a) * images
+
+
+def mean_shift_blur(images: Array, spatial_radius: Array,
+                    color_radius: Array, max_radius: int,
+                    iters: int = 5) -> Array:
+    """imgaug MeanShiftBlur (cv2.pyrMeanShiftFiltering at the finest
+    pyramid level): iterated local mode seeking — each round replaces a
+    pixel's running color with the mean of the ORIGINAL neighborhood taps
+    whose squared color distance to the running color is <= sr² and whose
+    spatial offset is within the per-image radius (flat window).  cv2's
+    default termination (5 iterations) becomes a static loop.  Deviations
+    (docs/schema.md): the window stays centered on the pixel (cv2 shifts
+    it toward the mode), and the static tap radius caps at ``max_radius``
+    (cv2 allows 40+, offline-speed)."""
+    b, h, w, c = images.shape
+    rr = int(max_radius)
+    if rr <= 0:
+        return images
+    radius = jnp.floor(spatial_radius)[:, None, None]              # (B,1,1)
+    sr2 = jnp.square(jnp.maximum(color_radius, 1e-3))[:, None, None]
+    pad = jnp.pad(images, ((0, 0), (rr, rr), (rr, rr), (0, 0)), mode="edge")
+
+    def one_round(_, state):
+        # lax.fori_loop so the (2r+1)² tap graph traces ONCE, not per
+        # round — the unrolled 5×121-tap form compiled minutes-slow
+        num = jnp.zeros_like(images)
+        den = jnp.zeros((b, h, w, 1), jnp.float32)
+        for dy in range(-rr, rr + 1):
+            for dx in range(-rr, rr + 1):
+                tap = pad[:, rr + dy:rr + dy + h, rr + dx:rr + dx + w, :]
+                r2 = float(dy * dy + dx * dx)
+                in_win = (math.sqrt(r2) <= radius + 1e-6)          # (B,1,1)
+                d2 = jnp.square(tap - state).sum(-1)               # (B,H,W)
+                wgt = (in_win & (d2 <= sr2)).astype(jnp.float32)[..., None]
+                num = num + wgt * tap
+                den = den + wgt
+        # the color gate compares taps against the RUNNING color, so after
+        # round 1 even the center tap can fail it — keep the previous
+        # state where the window admits no tap (cv2 breaks its loop there)
+        return jnp.where(den > 0.0, num / jnp.maximum(den, 1.0), state)
+
+    return jax.lax.fori_loop(0, max(1, int(iters)), one_round, images)

@@ -1,0 +1,304 @@
+"""Round-5 breadth wave 4: DirectedEdgeDetect, Canny, ChangeColorspace,
+MeanShiftBlur, BlendAlphaSomeColors, BlendAlphaSegMapClassIds — six more
+former do-not-lower names (the first two shipped under a WRONG
+justification: DirectedEdgeDetect has no hysteresis at all, and Canny's
+hysteresis lowers as bounded dilate-through-weak propagation).  Oracles
+are EXTERNAL where one exists: cv2.cvtColor for the colorspace
+re-encodings, cv2.Canny for the edge chain, a direct numpy replication
+of imgaug's published kernel construction for DirectedEdgeDetect
+(upstream reached via the imgaug dependency, SURVEY §2b; mount empty)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from segmentation_training_pipeline_tpu.ops.aug import build_augmentation
+from segmentation_training_pipeline_tpu.ops.aug import photometric as ph
+
+
+def _run(specs, imgs, masks=None, seed=0):
+    if masks is None:
+        masks = np.zeros(imgs.shape[:3] + (1,), np.float32)
+    fn = build_augmentation([{"name": n, "args": a} for n, a in specs])
+    oi, om = jax.jit(fn)(jax.random.PRNGKey(seed), jnp.asarray(imgs),
+                         jnp.asarray(masks))
+    return np.asarray(oi), np.asarray(om)
+
+
+def _smooth(seed, b, n, c=3):
+    """Low-frequency test content (random 8x8 bilinear-upsampled)."""
+    r = np.random.RandomState(seed)
+    small = r.randint(0, 256, (b, 8, 8, c)).astype(np.float32)
+    big = np.asarray(jax.image.resize(jnp.asarray(small), (b, n, n, c),
+                                      "linear"))
+    return np.clip(big, 0, 255).astype(np.uint8)
+
+
+class TestDirectedEdgeDetect:
+    def _oracle(self, img, alpha, direction):
+        """imgaug augmenters/convolutional.py DirectedEdgeDetect kernel."""
+        deg = int(direction * 360) % 360
+        rad = np.deg2rad(deg)
+        dvec = np.array([np.cos(rad - 0.5 * np.pi),
+                         np.sin(rad - 0.5 * np.pi)])
+        eff = np.zeros((3, 3), np.float32)
+        for x in (-1, 0, 1):
+            for y in (-1, 0, 1):
+                if (x, y) == (0, 0):
+                    continue
+                cell = np.array([x, y], np.float64)
+                cosv = np.clip(np.dot(cell / np.linalg.norm(cell), dvec),
+                               -1.0, 1.0)
+                dist = np.degrees(np.arccos(cosv)) / 180.0
+                eff[y + 1, x + 1] = (1.0 - dist) ** 4
+        eff = eff / eff.sum() * -1.0
+        eff[1, 1] = 1.0
+        ident = np.zeros((3, 3), np.float32)
+        ident[1, 1] = 1.0
+        kern = (1.0 - alpha) * ident + alpha * eff
+        pad = np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="reflect")
+        out = np.zeros_like(img, np.float32)
+        for dy in range(3):
+            for dx in range(3):
+                out += kern[dy, dx] * pad[dy:dy + img.shape[0],
+                                          dx:dx + img.shape[1]]
+        return np.clip(out, 0, 255)
+
+    @pytest.mark.parametrize("direction", [0.0, 0.25, 0.6, 0.875])
+    def test_matches_imgaug_kernel_oracle(self, direction):
+        imgs = _smooth(3, 1, 16)
+        oi, _ = _run([("DirectedEdgeDetect",
+                       {"alpha": 0.7, "direction": direction})], imgs)
+        exp = self._oracle(imgs[0].astype(np.float32), 0.7, direction)
+        np.testing.assert_allclose(oi[0], exp, atol=1e-2)
+
+    def test_alpha_zero_identity(self):
+        imgs = _smooth(4, 1, 12)
+        oi, _ = _run([("DirectedEdgeDetect",
+                       {"alpha": 0.0, "direction": [0, 1]})], imgs)
+        np.testing.assert_allclose(oi[0], imgs[0].astype(np.float32),
+                                   atol=1e-3)
+
+    def test_mask_untouched(self):
+        imgs = _smooth(5, 2, 12)
+        masks = (np.random.RandomState(0).rand(2, 12, 12, 1) > 0.5
+                 ).astype(np.float32)
+        _, om = _run([("DirectedEdgeDetect", {"alpha": 1.0})], imgs, masks)
+        np.testing.assert_array_equal(om, masks)
+
+
+class TestCanny:
+    def test_matches_cv2_edges(self):
+        cv2 = pytest.importorskip("cv2")
+        # grayscale 3-channel content so our luminance == cv2's input
+        g = _smooth(7, 1, 96, c=1)[0, ..., 0]                   # (96, 96)
+        imgs = np.repeat(g[None, :, :, None], 3, axis=-1)       # (1,96,96,3)
+        lo, hi = 40.0, 120.0
+        out = np.asarray(ph.canny(
+            jax.random.PRNGKey(0),
+            jnp.asarray(imgs, jnp.float32), jnp.asarray([1.0]),
+            jnp.asarray([lo]), jnp.asarray([hi])))
+        # alpha=1 output carries exactly <= 2 colors: bg at the corner
+        # (smooth content -> no edge there), edges everywhere else
+        bg = out[0, 0, 0]
+        ours = np.any(np.abs(out[0] - bg) > 0.5, axis=-1)
+        ref = cv2.Canny(g, lo, hi, apertureSize=3,
+                        L2gradient=False) > 0
+        inter = (ours & ref).sum()
+        union = (ours | ref).sum()
+        assert ref.sum() > 50, "oracle found no edges — bad test content"
+        assert inter / max(union, 1) > 0.7, (
+            f"edge IoU vs cv2.Canny too low: {inter / max(union, 1):.2f}")
+
+    def test_two_colors_at_alpha_one(self):
+        imgs = _smooth(8, 2, 32)
+        oi, _ = _run([("Canny", {"alpha": 1.0})], imgs)
+        for i in range(2):
+            colors = np.unique(oi[i].reshape(-1, 3), axis=0)
+            assert len(colors) <= 2
+
+    def test_alpha_zero_identity(self):
+        imgs = _smooth(9, 1, 24)
+        oi, _ = _run([("Canny", {"alpha": 0.0})], imgs)
+        np.testing.assert_allclose(oi[0], imgs[0].astype(np.float32),
+                                   atol=1e-3)
+
+    def test_sampled_kernel_size_rejected(self):
+        with pytest.raises(ValueError, match="sobel_kernel_size"):
+            _run([("Canny", {"sobel_kernel_size": [3, 7]})],
+                 _smooth(0, 1, 8))
+
+
+class TestChangeColorspace:
+    @pytest.mark.parametrize("cs,code", [
+        ("HSV", "COLOR_RGB2HSV"), ("HLS", "COLOR_RGB2HLS"),
+        ("YCrCb", "COLOR_RGB2YCrCb"), ("GRAY", None), ("BGR", None)])
+    def test_matches_cv2(self, cs, code):
+        cv2 = pytest.importorskip("cv2")
+        imgs = _smooth(11, 1, 16)
+        oi, _ = _run([("ChangeColorspace",
+                       {"to_colorspace": cs, "alpha": 1.0})], imgs)
+        if cs == "BGR":
+            exp = imgs[0][..., ::-1].astype(np.float32)
+        elif cs == "GRAY":
+            g = cv2.cvtColor(imgs[0], cv2.COLOR_RGB2GRAY)
+            exp = np.repeat(g[..., None], 3, axis=-1).astype(np.float32)
+        else:
+            exp = cv2.cvtColor(imgs[0], getattr(cv2, code)).astype(
+                np.float32)
+        if cs in ("HSV", "HLS"):
+            # hue is circular mod 180: compare channel 0 circularly
+            dh = np.abs(oi[0][..., 0] - exp[..., 0])
+            dh = np.minimum(dh, 180.0 - dh)
+            assert dh.max() <= 1.01, f"hue off by {dh.max()}"
+            np.testing.assert_allclose(oi[0][..., 1:], exp[..., 1:],
+                                       atol=1.01)
+        else:
+            np.testing.assert_allclose(oi[0], exp, atol=1.01)
+
+    def test_alpha_blends_toward_original(self):
+        imgs = _smooth(12, 1, 8)
+        full, _ = _run([("ChangeColorspace",
+                         {"to_colorspace": "YCrCb", "alpha": 1.0})], imgs)
+        half, _ = _run([("ChangeColorspace",
+                         {"to_colorspace": "YCrCb", "alpha": 0.5})], imgs)
+        exp = 0.5 * full[0] + 0.5 * imgs[0].astype(np.float32)
+        np.testing.assert_allclose(half[0], exp, atol=1e-2)
+
+    def test_lab_rejected_at_build(self):
+        with pytest.raises(ValueError, match="to_colorspace"):
+            _run([("ChangeColorspace", {"to_colorspace": "Lab"})],
+                 _smooth(0, 1, 8))
+
+
+class TestMeanShiftBlur:
+    def test_constant_image_identity(self):
+        imgs = np.full((1, 12, 12, 3), 77, np.uint8)
+        oi, _ = _run([("MeanShiftBlur",
+                       {"spatial_radius": 4, "color_radius": 20})], imgs)
+        np.testing.assert_allclose(oi[0], 77.0, atol=1e-3)
+
+    def test_regions_flatten_edges_survive(self):
+        # two flat regions 40/200 with +-8 noise: the color gate admits
+        # in-region taps only, so each region converges toward its mean
+        # while the 160-level step stays a step
+        r = np.random.RandomState(3)
+        base = np.full((1, 16, 16, 3), 40.0)
+        base[:, :, 8:] = 200.0
+        noisy = np.clip(base + r.uniform(-8, 8, base.shape), 0, 255
+                        ).astype(np.uint8)
+        oi, _ = _run([("MeanShiftBlur",
+                       {"spatial_radius": 3, "color_radius": 30})], noisy)
+        left, right = oi[0, :, :6], oi[0, :, 10:]
+        assert left.std() < noisy[0, :, :6].std() * 0.5
+        assert right.std() < noisy[0, :, 10:].std() * 0.5
+        assert abs(left.mean() - right.mean()) > 140
+
+    def test_tiny_color_radius_near_identity(self):
+        imgs = _smooth(14, 1, 12)
+        oi, _ = _run([("MeanShiftBlur",
+                       {"spatial_radius": 4, "color_radius": 0.5}
+                       )], imgs)
+        # only near-identical neighbors join the mean
+        assert np.abs(oi[0] - imgs[0].astype(np.float32)).max() < 8.0
+
+    def test_mask_untouched(self):
+        imgs = _smooth(15, 1, 12)
+        masks = (np.random.RandomState(1).rand(1, 12, 12, 1) > 0.5
+                 ).astype(np.float32)
+        _, om = _run([("MeanShiftBlur", None)], imgs, masks)
+        np.testing.assert_array_equal(om, masks)
+
+
+class TestBlendAlphaSomeColors:
+    def test_hue_blocks_treated_uniformly(self):
+        # left block pure red (hue bin 0), right pure green (hue 60 deg):
+        # with crisp bins every pixel of a block gets the SAME alpha, so
+        # each block is either fully grayscaled or fully untouched
+        imgs = np.zeros((1, 16, 16, 3), np.uint8)
+        imgs[:, :, :8, 0] = 200                    # red
+        imgs[:, :, 8:, 1] = 200                    # green
+        oi, _ = _run([("BlendAlphaSomeColors",
+                       {"nb_bins": 6, "smoothness": 0.01,
+                        "rotation_deg": 0,
+                        "foreground": {"Grayscale": 1.0}})], imgs)
+        for sl in (np.s_[:, :8], np.s_[:, 8:]):
+            block = oi[0][sl].reshape(-1, 3)
+            assert np.abs(block - block[0]).max() < 1.5, (
+                "pixels of one hue bin diverged")
+
+    def test_alpha_spec_one_applies_fg_everywhere(self):
+        imgs = _smooth(17, 1, 12)
+        oi, _ = _run([("BlendAlphaSomeColors",
+                       {"alpha": 1.0, "smoothness": 0.01,
+                        "foreground": {"Add": 50}})], imgs)
+        exp = np.clip(imgs[0].astype(np.float32) + 50, 0, 255)
+        np.testing.assert_allclose(oi[0], exp, atol=0.6)
+
+    def test_mask_untouched_by_photometric_children(self):
+        imgs = _smooth(18, 1, 12)
+        masks = (np.random.RandomState(2).rand(1, 12, 12, 1) > 0.5
+                 ).astype(np.float32)
+        _, om = _run([("BlendAlphaSomeColors",
+                       {"foreground": {"Add": 40}})], imgs, masks)
+        np.testing.assert_array_equal(om, masks)
+
+
+class TestBlendAlphaSegMapClassIds:
+    def _data(self, seed=0):
+        imgs = _smooth(seed, 1, 16)
+        masks = np.zeros((1, 16, 16, 1), np.float32)
+        masks[:, 4:12, 4:12] = 1.0
+        return imgs, masks
+
+    def test_fg_exactly_inside_mask(self):
+        imgs, masks = self._data(21)
+        oi, _ = _run([("BlendAlphaSegMapClassIds",
+                       {"class_ids": [1], "foreground": {"Add": 50}})],
+                     imgs, masks)
+        base = imgs[0].astype(np.float32)
+        m = masks[0, :, :, 0] > 0.5
+        np.testing.assert_allclose(oi[0][m], np.clip(base + 50, 0, 255)[m],
+                                    atol=1e-3)
+        np.testing.assert_allclose(oi[0][~m], base[~m], atol=1e-3)
+
+    def test_background_id_zero(self):
+        imgs, masks = self._data(22)
+        oi, _ = _run([("BlendAlphaSegMapClassIds",
+                       {"class_ids": [0], "foreground": {"Add": 50}})],
+                     imgs, masks)
+        base = imgs[0].astype(np.float32)
+        m = masks[0, :, :, 0] > 0.5
+        np.testing.assert_allclose(oi[0][~m],
+                                   np.clip(base + 50, 0, 255)[~m],
+                                   atol=1e-3)
+        np.testing.assert_allclose(oi[0][m], base[m], atol=1e-3)
+
+    def test_all_ids_is_everywhere(self):
+        imgs, masks = self._data(23)
+        oi, _ = _run([("BlendAlphaSegMapClassIds",
+                       {"class_ids": [0, 1], "foreground": {"Add": 50}})],
+                     imgs, masks)
+        exp = np.clip(imgs[0].astype(np.float32) + 50, 0, 255)
+        np.testing.assert_allclose(oi[0], exp, atol=1e-3)
+
+    def test_mask_routing_takes_fg_branch_inside(self):
+        imgs, masks = self._data(24)
+        _, om = _run([("BlendAlphaSegMapClassIds",
+                       {"class_ids": [1],
+                        "foreground": {"Flipud": 1.0}})], imgs, masks)
+        flipped = masks[:, ::-1]
+        sel = masks > 0.5
+        np.testing.assert_array_equal(om[sel], flipped[sel])
+        np.testing.assert_array_equal(om[~sel], masks[~sel])
+
+    def test_out_of_range_id_raises(self):
+        imgs, masks = self._data(25)
+        with pytest.raises(ValueError, match="out of range"):
+            _run([("BlendAlphaSegMapClassIds",
+                   {"class_ids": [3], "foreground": {"Add": 50}})],
+                 imgs, masks)

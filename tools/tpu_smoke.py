@@ -345,6 +345,15 @@ _AUG_ARGS = {
     "BlendAlphaSimplexNoise": {"foreground": {"Add": 40}},
     "BlendAlphaFrequencyNoise": {"exponent": [-3, 3],
                                  "foreground": {"Add": 40}},
+    "BlendAlphaSomeColors": {"nb_bins": [5, 15], "smoothness": [0.1, 0.3],
+                             "rotation_deg": [0, 360],
+                             "foreground": {"Grayscale": 1.0}},
+    "BlendAlphaSegMapClassIds": {"class_ids": [1],
+                                 "foreground": {"Add": 60}},
+    "DirectedEdgeDetect": {"alpha": [0.3, 0.7], "direction": [0.0, 1.0]},
+    "Canny": {"alpha": [0.5, 1.0], "sobel_kernel_size": 3},
+    "ChangeColorspace": {"to_colorspace": "HSV", "alpha": [0.5, 1.0]},
+    "MeanShiftBlur": {"spatial_radius": [3, 5], "color_radius": [20, 60]},
 }
 
 # mean |TPU - CPU| tolerance on the 0..255 scale.  Default covers
