@@ -116,6 +116,7 @@ for name, aliases in [
     ("Canny", ()),
     ("ChangeColorspace", ()),
     ("MeanShiftBlur", ()),
+    ("Cartoon", ()),
     ("AddToHue", ()),
     ("AddToSaturation", ()),
     ("MultiplyHue", ()),

@@ -200,7 +200,6 @@ _KNOWN_UNSUPPORTED_AUGMENTERS = frozenset({
     "Voronoi",  # takes an arbitrary points_sampler OBJECT; the concrete
     # samplers ARE lowered: UniformVoronoi / RegularGridVoronoi /
     # RelativeRegularGridVoronoi
-    "Cartoon",  # cv2-composite stylization chain, host-speed
     "AveragePool", "ElasticTransformationApprox",
     "Lambda", "AssertShape", "AssertLambda",
     # blend mask generators that need inputs this pipeline does not carry

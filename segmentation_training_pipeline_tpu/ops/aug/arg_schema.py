@@ -184,6 +184,9 @@ _def("ChangeColorspace", {"to_colorspace", "alpha"},
      {"from_colorspace": "runs on RGB directly here",
       "children": "ChangeColorspace converts the OUTPUT image; use "
                   "WithColorspace for scoped child edits"})
+_def("Cartoon",
+     {"blur_ksize", "segmentation_size", "saturation", "edge_prevalence"},
+     {"from_colorspace": "runs on RGB directly here"})
 _def("MeanShiftBlur", {"spatial_radius", "color_radius"},
      {"spatial_window_radius": "the imgaug 0.4 name is `spatial_radius`",
       "color_window_radius": "the imgaug 0.4 name is `color_radius`"})
@@ -411,6 +414,14 @@ def _check_values(name: str, canon: str, args: Dict[str, Any]) -> None:
             raise ValueError(
                 f"{name}: hysteresis_iters must be a static integer >= 1 "
                 f"(bounded edge-propagation rounds), got {it!r}")
+    if canon == "cartoon":
+        bk = args.get("blur_ksize")
+        if bk is not None and (isinstance(bk, bool)
+                               or not isinstance(bk, int) or bk < 1):
+            raise ValueError(
+                f"{name}: blur_ksize must be a static integer >= 1 "
+                "(median windows are compile-time shapes; imgaug samples "
+                f"it per image), got {bk!r} — see docs/schema.md")
     if canon == "changecolorspace":
         cs = args.get("to_colorspace")
         if cs is not None and (not isinstance(cs, str) or cs.upper()

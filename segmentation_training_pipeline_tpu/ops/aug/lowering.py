@@ -1721,6 +1721,20 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         imgs = ph.canny(k4, imgs, _sample(k1, a.get("alpha", [0.0, 1.0]), b),
                         _sample(k2, lo_spec, b), _sample(k3, hi_spec, b),
                         sobel_k=int(sk), hysteresis_iters=it)
+    elif name == "cartoon":
+        a = args if isinstance(args, dict) else {}
+        bk = a.get("blur_ksize", 3)
+        if isinstance(bk, bool) or not isinstance(bk, int) or bk < 1:
+            raise ValueError(
+                "Cartoon blur_ksize must be a static integer >= 1 here "
+                "(median windows are compile-time shapes; imgaug samples "
+                f"it per image), got {bk!r} — see docs/schema.md")
+        k1, k2, k3 = jax.random.split(k, 3)
+        imgs = ph.cartoon(
+            imgs, bk,
+            _sample(k1, a.get("segmentation_size", [0.8, 1.2]), b, 1.0),
+            _sample(k2, a.get("saturation", [1.5, 2.5]), b, 2.0),
+            _sample(k3, a.get("edge_prevalence", [0.9, 1.1]), b, 1.0))
     elif name == "meanshiftblur":
         a = args if isinstance(args, dict) else {"spatial_radius": args}
         srspec = a.get("spatial_radius", [5.0, 40.0])

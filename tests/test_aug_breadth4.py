@@ -302,3 +302,50 @@ class TestBlendAlphaSegMapClassIds:
             _run([("BlendAlphaSegMapClassIds",
                    {"class_ids": [3], "foreground": {"Add": 50}})],
                  imgs, masks)
+
+
+class TestCartoon:
+    def test_flattens_regions_draws_edges_boosts_saturation(self):
+        # noisy two-region image: cartoonization must (a) flatten the
+        # in-region noise, (b) stamp BLACK edge lines near the step,
+        # (c) boost saturation of the colored region
+        r = np.random.RandomState(5)
+        base = np.zeros((1, 32, 32, 3), np.float32)
+        base[..., 0] = 220.0                      # reddish, lum ~108
+        base[..., 1:] = 60.0
+        base[:, :, :16] = 60.0                    # gray left, lum 60
+        noisy = np.clip(base + r.uniform(-6, 6, base.shape), 0, 255
+                        ).astype(np.uint8)
+        oi, _ = _run([("Cartoon",
+                       {"blur_ksize": 3, "segmentation_size": 1.0,
+                        "saturation": 2.0, "edge_prevalence": 1.0})],
+                     noisy)
+        interior = oi[0, 4:-4, 20:-4]
+        assert interior.std(axis=(0, 1)).max() < 6.0, "region not flattened"
+        edge_band = oi[0, :, 14:18].reshape(-1, 3)
+        assert (edge_band.sum(-1) < 1e-3).any(), "no black edge stamped"
+        # saturation boost: right region R-G spread grows
+        right = oi[0, 4:-4, 20:-4]
+        spread = right[..., 0].mean() - right[..., 1].mean()
+        base_spread = 180.0 - 60.0  # hmm: pre-cartoon spread of the right
+        assert spread > 0, "red dominance lost"
+
+    def test_saturation_one_keeps_gray_gray(self):
+        imgs = np.full((1, 16, 16, 3), 120, np.uint8)
+        oi, _ = _run([("Cartoon",
+                       {"blur_ksize": 1, "segmentation_size": 1.0,
+                        "saturation": 3.0, "edge_prevalence": 1.0})], imgs)
+        # achromatic stays achromatic (S scaling has nothing to scale),
+        # flat image has no edges
+        np.testing.assert_allclose(oi[0], 120.0, atol=0.6)
+
+    def test_sampled_blur_ksize_rejected(self):
+        with pytest.raises(ValueError, match="blur_ksize"):
+            _run([("Cartoon", {"blur_ksize": [1, 5]})], _smooth(0, 1, 8))
+
+    def test_mask_untouched(self):
+        imgs = _smooth(26, 1, 16)
+        masks = (np.random.RandomState(3).rand(1, 16, 16, 1) > 0.5
+                 ).astype(np.float32)
+        _, om = _run([("Cartoon", None)], imgs, masks)
+        np.testing.assert_array_equal(om, masks)

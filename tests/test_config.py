@@ -199,9 +199,9 @@ def test_known_unsupported_imgaug_names_get_pointed_error():
     from segmentation_training_pipeline_tpu.config import (ConfigError,
                                                            parse_dict)
 
-    # (BlendAlphaSomeColors and Canny moved OFF this list in late r5 —
-    # they lower now; see tests/test_aug_breadth4.py)
-    for name in ("Voronoi", "Cartoon", "BlendAlphaMask",
+    # (BlendAlphaSomeColors, Canny and Cartoon moved OFF this list in
+    # late r5 — they lower now; see tests/test_aug_breadth4.py)
+    for name in ("Voronoi", "BlendAlphaBoundingBoxes", "BlendAlphaMask",
                  "Lambda", "pillike.Autocontrast"):
         with pytest.raises(ConfigError, match="schema.md"):
             parse_dict({"architecture": "Unet", "backbone": "resnet18",

@@ -354,6 +354,8 @@ _AUG_ARGS = {
     "Canny": {"alpha": [0.5, 1.0], "sobel_kernel_size": 3},
     "ChangeColorspace": {"to_colorspace": "HSV", "alpha": [0.5, 1.0]},
     "MeanShiftBlur": {"spatial_radius": [3, 5], "color_radius": [20, 60]},
+    "Cartoon": {"blur_ksize": 3, "segmentation_size": [0.8, 1.2],
+                "saturation": [1.5, 2.5], "edge_prevalence": [0.9, 1.1]},
 }
 
 # mean |TPU - CPU| tolerance on the 0..255 scale.  Default covers
