@@ -212,8 +212,10 @@ class TestPipelineProperties:
         assert set(np.unique(om)) <= {0.0, 1.0}
 
     def test_unknown_augmenter_raises(self):
+        # a name that bypassed config validation (lowering is driven
+        # directly here) must still fail loudly, not silently no-op
         with pytest.raises(KeyError, match="lowering"):
-            _run([("Jigsaw", 0.5)], _imgs(), _masks())
+            _run([("Frobnicate", 0.5)], _imgs(), _masks())
 
 
 class TestNewPhotometric:

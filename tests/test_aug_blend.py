@@ -230,9 +230,11 @@ def test_config_validates_blend_children():
             "BlendAlpha": {"factor": 0.5, "foreground": {"Flipzz": 1.0}}}})
     with pytest.raises(ConfigError, match="foreground"):
         parse_dict({"augmentation": {"BlendAlpha": {"factor": 0.5}}})
+    # (BlendAlphaSomeColors lowers since late r5 — probe the mask-object
+    # variant, which never can)
     with pytest.raises(ConfigError, match="does not lower"):
         parse_dict({"augmentation": {
-            "BlendAlphaSomeColors": {"foreground": {"Invert": 1.0}}}})
+            "BlendAlphaMask": {"foreground": {"Invert": 1.0}}}})
     cfg = parse_dict({"augmentation": {
         "BlendAlpha": {"factor": [0.2, 0.8],
                        "foreground": {"Sharpen": {"alpha": 1.0}}},
