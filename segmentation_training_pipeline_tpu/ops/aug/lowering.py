@@ -77,7 +77,7 @@ _RGB_ONLY_PHOTO = {"grayscale", "addtohueandsaturation",
                    "multiplyhue", "multiplysaturation", "removesaturation",
                    "changecolortemperature", "fastsnowylandscape",
                    "jpegcompression", "bilateralblur",
-                   "canny", "changecolorspace"}
+                   "canny", "changecolorspace", "cartoon"}
 
 
 
