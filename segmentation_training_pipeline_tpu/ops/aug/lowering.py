@@ -1041,8 +1041,11 @@ def _blend_alpha_map(name: str, a: Dict[str, Any], k: Array, b: int, h: int,
             grid = _sample_shape(kg, spec, (b, rmax, cmax))
         ohy = (iy[:, :, None] == jnp.arange(rmax)[None, None, :])
         ohx = (ix[:, :, None] == jnp.arange(cmax)[None, None, :])
+        # HIGHEST: the alpha map feeds the mask's >= 0.5 routing compare;
+        # bf16 input rounding of sampled grid alphas could flip it at ties
         al = jnp.einsum("bhr,brc,bwc->bhw", ohy.astype(jnp.float32), grid,
-                        ohx.astype(jnp.float32))
+                        ohx.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST)
         return al[..., None]
     if name == "blendalphasimplexnoise":
         ks = jax.random.split(k, 5)
@@ -1106,7 +1109,9 @@ def _blend_alpha_map(name: str, a: Dict[str, Any], k: Array, b: int, h: int,
                  & (ii[None, None, :] < nbf[..., None]))
         wgt = jnp.where(valid, wgt, 0.0)
         wgt = wgt / jnp.maximum(wgt.sum(axis=2, keepdims=True), 1e-6)
-        table = jnp.einsum("bij,bj->bi", wgt, table)
+        # HIGHEST: smoothed alphas feed the mask's >= 0.5 routing compare
+        table = jnp.einsum("bij,bj->bi", wgt, table,
+                           precision=jax.lax.Precision.HIGHEST)
         al = jnp.take_along_axis(table, bins.reshape(b, -1), axis=1)
         return al.reshape(b, h, w, 1)
     if name == "blendalphasegmapclassids":

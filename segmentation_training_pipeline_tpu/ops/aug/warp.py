@@ -41,8 +41,12 @@ def identity_mats(b: int) -> Array:
 
 def compose(m_new: Array, m_acc: Array) -> Array:
     """Apply ``m_new`` AFTER ``m_acc`` in forward order — for inverse
-    matrices this means right-multiplying: inv(N·A) = inv(A)·inv(N)."""
-    return jnp.einsum("bij,bjk->bik", m_acc, m_new)
+    matrices this means right-multiplying: inv(N·A) = inv(A)·inv(N).
+    precision=HIGHEST: the composed coefficients feed coordinate
+    rounding (nearest-tap masks) — bf16 MXU input rounding would flip
+    near-.5 taps vs the CPU lowering, and 3x3 products are free in f32."""
+    return jnp.einsum("bij,bjk->bik", m_acc, m_new,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def translation(tx: Array, ty: Array) -> Array:
