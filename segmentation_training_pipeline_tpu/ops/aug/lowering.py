@@ -69,6 +69,13 @@ _META = {"sometimes", "someof", "oneof", "withchannels",
          "withhueandsaturation", "withbrightnesschannels",
          "withcolorspace"} | _BLEND
 
+# photo-path names that move pixels and transform the MASK jointly —
+# rejected as children of the channel/colorspace-scoping combinators,
+# which splice only the child's IMAGE back (the child's mask is
+# discarded there, so these would scramble scoped channels away from
+# the segmentation mask)
+_JOINT_PHOTO = {"jigsaw"}
+
 # photometrics that hard-assume a 3-channel RGB image — rejected as
 # children of the colorspace-scoping combinators whose children see
 # 1 or 2 channels (H/S or a brightness plane)
@@ -103,6 +110,19 @@ def _sample(rng: Array, spec: Any, b: int, default: float = 0.0) -> Array:
         idx = jax.random.randint(rng, (b,), 0, len(vals))
         return arr[idx]
     raise ValueError(f"cannot lower augmentation parameter {spec!r}")
+
+
+def _bare(args: Any, key: str) -> Dict[str, Any]:
+    """Coerce an augmenter's YAML args to a dict: a dict passes through,
+    a bare scalar/list means ``{key: args}``, and a bare ``Name:`` (YAML
+    null) means "all defaults" — i.e. {} — so ``.get(key, imgaug_default)``
+    sees its default instead of an explicit None (which ``_sample`` would
+    otherwise lower to 0.0, a silent no-op; r5 review finding)."""
+    if isinstance(args, dict):
+        return args
+    if args is None:
+        return {}
+    return {key: args}
 
 
 def _sample_xy(rng: Array, spec: Any, b: int, default: float) -> Tuple[Array, Array]:
@@ -800,7 +820,7 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                 else:
                     disp = (disp[0] + dx, disp[1] + dy)
             elif name == "piecewiseaffine":
-                a = args if isinstance(args, dict) else {"scale": args}
+                a = _bare(args, "scale")
                 k1, k2 = jax.random.split(k)
                 scale = _sample(k1, a.get("scale", [0.01, 0.05]), b)
                 _, sc_max = _static_bounds(a.get("scale"), 0.05)
@@ -811,7 +831,7 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
                 disp = ((dx, dy) if disp is None
                         else (disp[0] + dx, disp[1] + dy))
             elif name == "perspectivetransform":
-                a = args if isinstance(args, dict) else {"scale": args}
+                a = _bare(args, "scale")
                 k1, k2 = jax.random.split(k)
                 scale = _sample(k1, a.get("scale", [0.0, 0.06]), b)
                 _, sc_max = _static_bounds(a.get("scale"), 0.06)
@@ -1218,7 +1238,7 @@ def _make_meta(s: Dict[str, Any], integer_input: bool = True) -> Callable:
                 f"{s['name']} needs a {{children: {{...}}}} block")
         for e in child_spec:
             nm = e["name"].lower()
-            if nm in _GEOMETRIC or nm in _META:
+            if nm in _GEOMETRIC or nm in _META or nm in _JOINT_PHOTO:
                 raise ValueError(
                     f"{s['name']} child {e['name']!r}: only photometric "
                     "children are supported (geometric ones would warp "
@@ -1285,7 +1305,7 @@ def _make_meta(s: Dict[str, Any], integer_input: bool = True) -> Callable:
         child_spec = _coerce_block(a.get("children") or a.get("then"))
         for e in child_spec:
             nm = e["name"].lower()
-            if nm in _GEOMETRIC or nm in _META:
+            if nm in _GEOMETRIC or nm in _META or nm in _JOINT_PHOTO:
                 raise ValueError(
                     f"WithChannels child {e['name']!r}: only photometric "
                     "children are supported (geometric ones would warp "
@@ -1449,23 +1469,27 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
     imgs = imgs.astype(jnp.float32)  # photometrics run in 0..255 float
     b, c = imgs.shape[0], imgs.shape[-1]
     per_ch = bool(isinstance(args, dict) and args.get("per_channel"))
+    # bare `Name:` (YAML null) and `Name: {}` both mean the imgaug 0.4
+    # default distribution (its "sensible defaults" release) — NOT the
+    # identity, which would be the silent-no-op class the arg-schema work
+    # exists to kill (r5 review finding; mirrors a bare iaa.Add() etc.)
     if name == "multiply":
-        a = args if not isinstance(args, dict) else args.get("mul", 1.0)
+        a = _bare(args, "mul").get("mul", [0.8, 1.2])
         imgs = ph.multiply(imgs, _sample_maybe_per_channel(k, a, b, c,
                                                            per_ch, 1.0))
     elif name == "add":
-        a = args if not isinstance(args, dict) else args.get("value", 0.0)
+        a = _bare(args, "value").get("value", [-20, 20])
         imgs = ph.add(imgs, _sample_maybe_per_channel(k, a, b, c,
                                                       per_ch, 0.0))
     elif name == "addtohueandsaturation":
-        a = args if isinstance(args, dict) else {"value": args}
+        a = _bare(args, "value")
         k1, k2 = jax.random.split(k)
         vh = _sample(k1, a.get("value_hue", a.get("value", [-30, 30])), b)
         vs = _sample(k2, a.get("value_saturation", a.get("value", [-30, 30])),
                      b)
         imgs = ph.add_to_hue_and_saturation(imgs, vh, vs)
     elif name == "multiplyhueandsaturation":
-        a = args if isinstance(args, dict) else {"mul": args}
+        a = _bare(args, "mul")
         k1, k2 = jax.random.split(k)
         mh = _sample(k1, a.get("mul_hue", a.get("mul", [0.8, 1.2])), b)
         ms = _sample(k2, a.get("mul_saturation", a.get("mul", [0.8, 1.2])), b)
@@ -1498,28 +1522,28 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         imgs = ph.multiply_hue_and_saturation(
             imgs, jnp.ones((b,), jnp.float32), 1.0 - _sample(k, a, b, 1.0))
     elif name in ("linearcontrast", "contrastnormalization"):
-        a = args if not isinstance(args, dict) else args.get("alpha", 1.0)
+        a = _bare(args, "alpha").get("alpha", [0.6, 1.4])
         imgs = ph.linear_contrast(imgs, _sample(k, a, b, 1.0))
     elif name == "gammacontrast":
-        a = args if not isinstance(args, dict) else args.get("gamma", 1.0)
+        a = _bare(args, "gamma").get("gamma", [0.7, 1.7])
         imgs = ph.gamma_contrast(
             imgs, _sample_maybe_per_channel(k, a, b, c, per_ch, 1.0))
     elif name == "sigmoidcontrast":
-        a = args if isinstance(args, dict) else {"gain": args}
+        a = _bare(args, "gain")
         k1, k2 = jax.random.split(k)
         gain = _sample(k1, a.get("gain", 10.0), b, 10.0)
         cutoff = _sample(k2, a.get("cutoff", 0.5), b, 0.5)
         imgs = ph.sigmoid_contrast(imgs, gain, cutoff)
     elif name == "logcontrast":
-        a = args if not isinstance(args, dict) else args.get("gain", 1.0)
+        a = _bare(args, "gain").get("gain", [0.4, 1.6])
         imgs = ph.log_contrast(
             imgs, _sample_maybe_per_channel(k, a, b, c, per_ch, 1.0))
     elif name == "additivegaussiannoise":
-        a = args if not isinstance(args, dict) else args.get("scale", 0.0)
+        a = _bare(args, "scale").get("scale", [0, 15])
         k1, k2 = jax.random.split(k)
         imgs = ph.gaussian_noise(k2, imgs, _sample(k1, a, b, 0.0))
     elif name == "averageblur":
-        a = args if not isinstance(args, dict) else args.get("k", 3)
+        a = _bare(args, "k").get("k", [1, 7])
         try:
             k_max = (float(a) if isinstance(a, (int, float))
                      else max(float(v) for v in a))
@@ -1528,11 +1552,11 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         radius = int(min(max(1, math.ceil((k_max - 1) / 2)), 64))
         imgs = ph.average_blur(imgs, _sample(k, a, b, 3.0), radius=radius)
     elif name == "additivepoissonnoise":
-        a = args if not isinstance(args, dict) else args.get("lam", 1.0)
+        a = _bare(args, "lam").get("lam", [0, 15])
         k1, k2 = jax.random.split(k)
         imgs = ph.additive_poisson_noise(k2, imgs, _sample(k1, a, b, 1.0))
     elif name == "gaussianblur":
-        a = args if not isinstance(args, dict) else args.get("sigma", 0.0)
+        a = _bare(args, "sigma").get("sigma", [0.0, 3.0])
         # static kernel support from the YAML sigma range (imgaug sizes its
         # kernel ~2.5*sigma); a fixed radius silently under-blurs large sigmas
         try:
@@ -1587,7 +1611,7 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         # imgaug Solarize(p=1, threshold=128): the bare-scalar form is the
         # application PROBABILITY (not the threshold — that was a round-4
         # divergence); dict form takes both
-        a = args if isinstance(args, dict) else {"p": args}
+        a = _bare(args, "p")
         k1, k2, k3 = jax.random.split(k, 3)
         th = _sample(k2, a.get("threshold", 128), b, 128.0)
         sol = ph.solarize(imgs, th)
@@ -1652,7 +1676,7 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         # per-pixel Bernoulli probability (sampled per image from the
         # spec), `replacement` the value drawn per replaced pixel.
         # Salt/Pepper/SaltAndPepper are its fixed-value special cases.
-        a = args if isinstance(args, dict) else {"mask": args}
+        a = _bare(args, "mask")
         k1, k2, k3 = jax.random.split(k, 3)
         p = _sample(k1, a.get("mask", 0.05), b)
         shape = imgs.shape if per_ch else imgs.shape[:3] + (1,)
@@ -1676,21 +1700,20 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         imgs = ph.coarse_salt_and_pepper(k2, imgs, _sample(k1, p_spec, b),
                                          size_frac=size, mode=mode)
     elif name == "additivelaplacenoise":
-        a = args if not isinstance(args, dict) else args.get("scale", 0.0)
+        a = _bare(args, "scale").get("scale", [0, 15])
         k1, k2 = jax.random.split(k)
         imgs = ph.laplace_noise(k2, imgs, _sample(k1, a, b, 0.0))
     elif name == "edgedetect":
-        a = args if not isinstance(args, dict) else args.get("alpha",
-                                                             [0.0, 0.75])
+        a = _bare(args, "alpha").get("alpha", [0.0, 0.75])
         imgs = ph.edge_detect(imgs, _sample(k, a, b))
     elif name == "directededgedetect":
-        a = args if isinstance(args, dict) else {"alpha": args}
+        a = _bare(args, "alpha")
         k1, k2 = jax.random.split(k)
         imgs = ph.directed_edge_detect(
             imgs, _sample(k1, a.get("alpha", [0.0, 0.75]), b),
             _sample(k2, a.get("direction", [0.0, 1.0]), b))
     elif name == "changecolorspace":
-        a = args if isinstance(args, dict) else {"to_colorspace": args}
+        a = _bare(args, "to_colorspace")
         cs = a.get("to_colorspace")
         if not isinstance(cs, str) or cs.upper() not in (
                 "RGB", "BGR", "GRAY", "HSV", "HLS", "YCRCB"):
@@ -1702,7 +1725,7 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         imgs = ph.change_colorspace(imgs, cs,
                                     _sample(k, a.get("alpha", 1.0), b, 1.0))
     elif name == "canny":
-        a = args if isinstance(args, dict) else {"alpha": args}
+        a = _bare(args, "alpha")
         sk = a.get("sobel_kernel_size", 3)
         if isinstance(sk, bool) or sk not in (3, 5, 7):
             raise ValueError(
@@ -1741,7 +1764,7 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
             _sample(k2, a.get("saturation", [1.5, 2.5]), b, 2.0),
             _sample(k3, a.get("edge_prevalence", [0.9, 1.1]), b, 1.0))
     elif name == "meanshiftblur":
-        a = args if isinstance(args, dict) else {"spatial_radius": args}
+        a = _bare(args, "spatial_radius")
         srspec = a.get("spatial_radius", [5.0, 40.0])
         # static tap window like BilateralBlur: cap the radius at 5
         # (121 taps x 5 rounds); cv2's 40 px windows are offline-speed
@@ -1769,7 +1792,7 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
                 "minpooling": "min"}[name]
         imgs = ph.keep_size_pooling(imgs, int(a), mode)
     elif name == "motionblur":
-        a = args if isinstance(args, dict) else {"k": args}
+        a = _bare(args, "k")
         k1, k2 = jax.random.split(k)
         kspec = a.get("k", 5)
         try:
@@ -1792,7 +1815,7 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
                 f"{a!r} — see docs/schema.md deviations")
         imgs = ph.median_pooling(imgs, int(a))
     elif name == "bilateralblur":
-        a = args if isinstance(args, dict) else {"d": args}
+        a = _bare(args, "d")
         dspec = a.get("d", 3)
         try:
             d_max = (float(dspec) if isinstance(dspec, (int, float))
@@ -1833,13 +1856,13 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
                   "allchannelshistogramequalization"):
         imgs = ph.histogram_equalization(imgs)
     elif name in ("clahe", "allchannelsclahe"):
-        a = args if isinstance(args, dict) else {"clip_limit": args}
+        a = _bare(args, "clip_limit")
         # imgaug's kwarg is tile_grid_size_px; accept both spellings
         grid = int(a.get("tile_grid_size", a.get("tile_grid_size_px", 8)))
         imgs = ph.clahe(imgs, _sample(k, a.get("clip_limit", [1, 10]),
                                       b, 40.0), tile_grid=grid)
     elif name == "jpegcompression":
-        a = args if isinstance(args, dict) else {"compression": args}
+        a = _bare(args, "compression")
         comp = _sample(k, a.get("compression", [0, 100]), b, 50.0)
         # imgaug maps compression c → codec quality 100 − c
         imgs = ph.jpeg_compression(imgs, 100.0 - comp)
@@ -1863,12 +1886,12 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         a = args if not isinstance(args, dict) else args.get("cutoff", 0)
         imgs = ph.autocontrast(imgs, float(a or 0))
     elif name == "clouds":
-        a = args if isinstance(args, dict) else {"coverage": args}
+        a = _bare(args, "coverage")
         k1, k2 = jax.random.split(k)
         imgs = ph.clouds(k2, imgs,
                          _sample(k1, a.get("coverage", [0.2, 0.5]), b))
     elif name == "fog":
-        a = args if isinstance(args, dict) else {"density": args}
+        a = _bare(args, "density")
         k1, k2 = jax.random.split(k)
         imgs = ph.fog(k2, imgs,
                       _sample(k1, a.get("density", [0.1, 0.4]), b))
@@ -1894,7 +1917,7 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         imgs = ph.uniform_color_quantization(
             imgs, _sample(k, a if a is not None else [2, 16], b, 8.0))
     elif name == "superpixels":
-        a = args if isinstance(args, dict) else {"p_replace": args}
+        a = _bare(args, "p_replace")
         ms = _static_max_size(a.get("max_size", 128), s["name"])
         k1, k2, k3 = jax.random.split(k, 3)
         nseg, nmax = _sample_int(k1, a.get("n_segments", 100), b, 100)
@@ -1902,7 +1925,7 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
             k3, imgs, nseg, max(1, nmax),
             _sample(k2, a.get("p_replace", 0.0), b, 0.0), ms)
     elif name == "uniformvoronoi":
-        a = args if isinstance(args, dict) else {"n_points": args}
+        a = _bare(args, "n_points")
         ms = _static_max_size(a.get("max_size", 128), s["name"])
         k1, k2, k3 = jax.random.split(k, 3)
         npts, nmax = _sample_int(k1, a.get("n_points", [50, 500]), b, 100)
@@ -1934,7 +1957,7 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
             _sample(k3, a.get("p_drop_points", 0.4), b, 0.4),
             _sample(k4, a.get("p_replace", [0.5, 1.0]), b, 1.0), ms)
     elif name == "kmeanscolorquantization":
-        a = args if isinstance(args, dict) else {"n_colors": args}
+        a = _bare(args, "n_colors")
         ms = _static_max_size(a.get("max_size", 128), s["name"])
         k1, k2 = jax.random.split(k)
         ncol, cmax = _sample_int(k1, a.get("n_colors", [2, 16]), b, 8)

@@ -911,27 +911,12 @@ def fast_snowy_landscape(images: Array, threshold: Array,
     achromatic pixels (C = 0) stay gray at the new lightness.
     ``threshold``/``multiplier`` are (B,) samples (imgaug defaults
     uniform (100, 255) / (1.0, 4.0))."""
-    r, g, b = images[..., 0], images[..., 1], images[..., 2]
-    mx = jnp.maximum(jnp.maximum(r, g), b)
-    mn = jnp.minimum(jnp.minimum(r, g), b)
-    c = mx - mn
-    safe_c = jnp.where(c > 0, c, 1.0)
-    hr = jnp.mod((g - b) / safe_c, 6.0)
-    hg = (b - r) / safe_c + 2.0
-    hb = (r - g) / safe_c + 4.0
-    hh = jnp.where(c > 0, jnp.where(mx == r, hr,
-                                    jnp.where(mx == g, hg, hb)), 0.0)
-    lsum = mx + mn                                     # = 2L, in [0, 510]
-    light = 0.5 * lsum
-    s_hls = jnp.where(c > 0,
-                      c / jnp.where(light <= 127.5,
-                                    jnp.maximum(lsum, 1.0),
-                                    jnp.maximum(510.0 - lsum, 1.0)),
-                      0.0)
+    h, light, s = _rgb_to_hls(images)
+    hh = h / 30.0                       # back to sector units in [0, 6)
     thr = threshold[:, None, None]
     mul = multiplier[:, None, None]
     light = jnp.clip(jnp.where(light < thr, light * mul, light), 0.0, 255.0)
-    cc = (1.0 - jnp.abs(2.0 * light / 255.0 - 1.0)) * s_hls * 255.0
+    cc = (1.0 - jnp.abs(2.0 * light / 255.0 - 1.0)) * s
     x = cc * (1.0 - jnp.abs(jnp.mod(hh, 2.0) - 1.0))
     m0 = light - 0.5 * cc
     zero = jnp.zeros_like(cc)

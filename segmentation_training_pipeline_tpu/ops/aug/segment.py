@@ -31,7 +31,6 @@ Masks are untouched (color-only augmenters).  Inputs are f32 0..255
 
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import jax

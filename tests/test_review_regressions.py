@@ -191,3 +191,83 @@ class TestSecondReviewBatch:
                                       radius=12))[0]
         ref = gaussian_filter(f[0], 4.0, mode="reflect", truncate=3.0)
         assert np.abs(out - ref).max() < 1e-5
+
+
+class TestRound5Review:
+    """Regression tests for the round-5 code-review findings."""
+
+    def _run(self, spec, imgs=None, masks=None, seed=0):
+        if imgs is None:
+            rng = np.random.RandomState(0)
+            imgs = rng.randint(0, 256, (4, 32, 32, 3), np.uint8)
+        if masks is None:
+            masks = (np.random.RandomState(1).rand(4, 32, 32, 1)
+                     > 0.5).astype(np.float32)
+        aug = build_augmentation(spec)
+        oi, om = jax.jit(aug)(jax.random.PRNGKey(seed), jnp.asarray(imgs),
+                              jnp.asarray(masks))
+        return np.asarray(oi), np.asarray(om), imgs, masks
+
+    def test_jigsaw_rejected_in_colorspace_scopes(self):
+        """Jigsaw moves pixels AND the mask; scope combinators discard the
+        child's mask, so it must be rejected like geometric children."""
+        import pytest
+        for outer, args in (
+            ("WithHueAndSaturation", {"children": {"Jigsaw": {
+                "nb_rows": 2, "nb_cols": 2, "max_steps": 2}}}),
+            ("WithBrightnessChannels", {"children": {"Jigsaw": {
+                "nb_rows": 2, "nb_cols": 2, "max_steps": 2}}}),
+            ("WithChannels", {"channels": [0], "children": {"Jigsaw": {
+                "nb_rows": 2, "nb_cols": 2, "max_steps": 2}}}),
+        ):
+            with pytest.raises(ValueError, match="photometric"):
+                build_augmentation([{"name": outer, "args": args}])
+
+    def test_bare_solarize_applies(self):
+        """`Solarize:` (YAML null args) means imgaug defaults p=1,
+        threshold=128 — it must neither crash (float(None)) nor no-op."""
+        oi, _, imgs, _ = self._run([{"name": "Solarize", "args": None}])
+        hi = imgs >= 129
+        assert hi.any()
+        assert np.abs(oi[hi] - imgs[hi].astype(np.float32)).max() > 1.0
+
+    def test_bare_edge_augmenters_apply(self):
+        """`Canny:` / `DirectedEdgeDetect:` with null args must use the
+        imgaug default alpha ranges, not a silent alpha=0 no-op."""
+        for name in ("Canny", "DirectedEdgeDetect"):
+            changed = 0.0
+            for seed in range(3):
+                oi, _, imgs, _ = self._run([{"name": name, "args": None}],
+                                           seed=seed)
+                changed = max(changed,
+                              np.abs(oi - imgs.astype(np.float32)).max())
+            assert changed > 1.0, name
+
+    def test_bare_add_applies(self):
+        """The null-args fix is structural (_bare): every bare photometric
+        name gets its imgaug default distribution, e.g. Add ~ U(-20, 20)."""
+        imgs = np.full((4, 32, 32, 3), 128, np.uint8)
+        changed = 0.0
+        for seed in range(3):
+            oi, _, _, _ = self._run([{"name": "Add", "args": None}],
+                                    imgs=imgs, seed=seed)
+            changed = max(changed, np.abs(oi - 128.0).max())
+        assert changed > 0.5
+
+    def test_bare_identity_default_family_applies(self):
+        """Names whose dict-form default used to be the identity must draw
+        the imgaug-0.4 default range on a bare `Name:` instead of silently
+        no-opping (Multiply 1.0, GaussianBlur sigma 0, LinearContrast 1.0,
+        AdditiveGaussianNoise scale 0, EdgeDetect alpha 0, ...)."""
+        rng = np.random.RandomState(2)
+        imgs = rng.randint(40, 216, (4, 32, 32, 3), np.uint8)
+        for name in ("Multiply", "GaussianBlur", "LinearContrast",
+                     "GammaContrast", "LogContrast", "AdditiveGaussianNoise",
+                     "AdditiveLaplaceNoise", "EdgeDetect"):
+            changed = 0.0
+            for seed in range(3):
+                oi, _, _, _ = self._run([{"name": name, "args": None}],
+                                        imgs=imgs, seed=seed)
+                changed = max(changed,
+                              np.abs(oi - imgs.astype(np.float32)).max())
+            assert changed > 0.5, name

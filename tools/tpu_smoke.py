@@ -13,7 +13,8 @@ backend (identical threefry randomness): finite outputs, image range
 [0, 255], mask binarity, and a per-family tolerance on the image
 difference (Pallas-vs-footprint geo paths and threshold-amplified ops get
 looser tolerances — see _AUG_TOL).  One command re-certifies the whole
-87-name surface after any JAX/libtpu bump.
+registered surface (the live registry — names + aliases — is enumerated
+at run time, so the count tracks the code) after any JAX/libtpu bump.
 
 Run both each round beside bench.py and paste the tables into PERF.md.
 
