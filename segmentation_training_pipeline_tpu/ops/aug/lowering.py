@@ -397,6 +397,16 @@ def _make_geo_run(geo: List[Dict[str, Any]], integer_input: bool) -> Callable:
     _cval_spec = None
     for _s in geo:
         _a = _s.get("args")
+        if (_s["name"].lower() in ("croptofixedsize", "randomcrop",
+                                   "centercroptofixedsize",
+                                   "padtofixedsize")
+                and not (isinstance(_a, dict)
+                         and (_a.get("width") is not None
+                              or _a.get("height") is not None))):
+            raise ValueError(
+                f"{_s['name']} needs {{width: ..., height: ...}} (imgaug "
+                "requires them; omit one to leave that axis unchanged) — "
+                "without them it would be a silent no-op")
         if isinstance(_a, dict):
             for _mk in ("mode", "pad_mode"):
                 _md = _a.get(_mk)
@@ -1325,9 +1335,14 @@ def _make_meta(s: Dict[str, Any], integer_input: bool = True) -> Callable:
     if name == "sometimes":
         a = args if isinstance(args, dict) else {}
         p = float(a.get("p", 0.5))
-        child = build_augmentation(_coerce_block(
-            a.get("then") or a.get("then_list") or a.get("children")),
-            integer_input=integer_input)
+        then_spec = a.get("then") or a.get("then_list") or a.get("children")
+        if not then_spec and not (a.get("else") or a.get("else_list")
+                                  or a.get("otherwise")):
+            raise ValueError(
+                "Sometimes needs a {then: {...}} (and/or else:) child "
+                "block — without one it would be a silent no-op")
+        child = build_augmentation(_coerce_block(then_spec),
+                                   integer_input=integer_input)
         else_spec = (a.get("else") or a.get("else_list")
                      or a.get("otherwise"))
         child_else = (build_augmentation(_coerce_block(else_spec),
@@ -1495,24 +1510,20 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         ms = _sample(k2, a.get("mul_saturation", a.get("mul", [0.8, 1.2])), b)
         imgs = ph.multiply_hue_and_saturation(imgs, mh, ms)
     elif name == "addtohue":
-        a = args if not isinstance(args, dict) else args.get("value",
-                                                             [-255, 255])
+        a = _bare(args, "value").get("value", [-255, 255])
         imgs = ph.add_to_hue_and_saturation(imgs, _sample(k, a, b),
                                             jnp.zeros((b,), jnp.float32))
     elif name == "addtosaturation":
-        a = args if not isinstance(args, dict) else args.get("value",
-                                                             [-75, 75])
+        a = _bare(args, "value").get("value", [-75, 75])
         imgs = ph.add_to_hue_and_saturation(imgs,
                                             jnp.zeros((b,), jnp.float32),
                                             _sample(k, a, b))
     elif name == "multiplyhue":
-        a = args if not isinstance(args, dict) else args.get("mul",
-                                                             [-3.0, 3.0])
+        a = _bare(args, "mul").get("mul", [-3.0, 3.0])
         imgs = ph.multiply_hue_and_saturation(imgs, _sample(k, a, b),
                                               jnp.ones((b,), jnp.float32))
     elif name == "multiplysaturation":
-        a = args if not isinstance(args, dict) else args.get("mul",
-                                                             [0.0, 3.0])
+        a = _bare(args, "mul").get("mul", [0.0, 3.0])
         imgs = ph.multiply_hue_and_saturation(imgs,
                                               jnp.ones((b,), jnp.float32),
                                               _sample(k, a, b))
@@ -1923,7 +1934,7 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         nseg, nmax = _sample_int(k1, a.get("n_segments", 100), b, 100)
         imgs = sg.superpixels(
             k3, imgs, nseg, max(1, nmax),
-            _sample(k2, a.get("p_replace", 0.0), b, 0.0), ms)
+            _sample(k2, a.get("p_replace", [0.5, 1.0]), b, 1.0), ms)
     elif name == "uniformvoronoi":
         a = _bare(args, "n_points")
         ms = _static_max_size(a.get("max_size", 128), s["name"])

@@ -271,3 +271,57 @@ class TestRound5Review:
                 changed = max(changed,
                               np.abs(oi - imgs.astype(np.float32)).max())
             assert changed > 0.5, name
+
+    def test_every_bare_form_applies_or_errors(self):
+        """Structural guard generalizing the Solarize/Canny findings: for
+        EVERY registered augmenter, a bare `Name:` (args None) must either
+        raise a pointed ValueError/KeyError (e.g. children/size required)
+        or visibly transform at least one of a few seeds — a silent
+        identity or a raw TypeError is a product bug."""
+        from segmentation_training_pipeline_tpu import config as C
+        C._populate_registries()
+        canons = sorted(set(C.AUGMENTERS._canonical.values()))
+        # identity-by-design or identity-by-imgaug-default bare forms
+        identity_ok = {
+            "noop", "identity",
+            "affine",        # imgaug Affine() is the identity transform
+            "cropandpad",    # px/percent default 0 (imgaug: None -> 0)
+            "pad",           # same
+            "crop",          # same
+            "dropout2d",     # p=0.1 over 3 channels: a tiny batch can
+                             # legitimately draw zero drops across seeds
+        }
+        rng = np.random.RandomState(3)
+        imgs = rng.randint(30, 226, (2, 40, 40, 3), np.uint8)
+        masks = (rng.rand(2, 40, 40, 1) > 0.5).astype(np.float32)
+        silent, crashed = [], []
+        for canon in canons:
+            if canon.lower() in identity_ok:
+                continue
+            try:
+                aug = build_augmentation([{"name": canon, "args": None}])
+            except (ValueError, KeyError):
+                continue                      # pointed error: acceptable
+            except Exception as e:            # raw crash: the Solarize bug
+                crashed.append((canon, type(e).__name__, str(e)[:60]))
+                continue
+            changed = 0.0
+            try:
+                for seed in range(4):
+                    oi, om = aug(jax.random.PRNGKey(seed),
+                                 jnp.asarray(imgs), jnp.asarray(masks))
+                    d_i = np.abs(np.asarray(oi)
+                                 - imgs.astype(np.float32)).max()
+                    d_m = np.abs(np.asarray(om) - masks).max()
+                    changed = max(changed, d_i, d_m)
+                    if changed > 0.5:
+                        break
+            except (ValueError, KeyError):
+                continue   # pointed error at trace time: also acceptable
+            except Exception as e:
+                crashed.append((canon, type(e).__name__, str(e)[:60]))
+                continue
+            if changed <= 0.5:
+                silent.append(canon)
+        assert not crashed, crashed
+        assert not silent, silent

@@ -464,17 +464,24 @@ def check_aug_surface():
             mean_err = float(np.abs(oi_d - oi_c).mean())
             max_err = float(np.abs(oi_d - oi_c).max())
             mask_mism = float((om_d != om_c).mean())
+            # effect check: dev-vs-cpu equality alone is VACUOUS if the
+            # augmenter no-ops on both backends (the r5 bare-args bug
+            # class) — the representative args must visibly do something
+            effect = max(float(np.abs(oi_d
+                                      - img_h.astype(np.float32)).max()),
+                         float((om_d != msk_h).mean()))
+            has_effect = effect > 1e-3 or name in ("noop", "identity")
             tol = _AUG_TOL.get(name, _AUG_TOL_DEFAULT)
             # warp-path masks may flip boundary pixels (multipass nearest
             # shifts ±1px vs the footprint gather — documented deviation)
             mask_tol = 0.02 if tol < 3 else 0.06
             ok = (finite and in_range and binary and mean_err <= tol
-                  and mask_mism <= mask_tol)
+                  and mask_mism <= mask_tol and has_effect)
             detail = (f"mean_err={mean_err:7.3f} (tol {tol:g}) "
                       f"max={max_err:6.1f} mask_mism={mask_mism:.4f}")
-            if not (finite and in_range and binary):
+            if not (finite and in_range and binary and has_effect):
                 detail += (f" finite={finite} range={in_range} "
-                           f"binary={binary}")
+                           f"binary={binary} effect={effect:.3f}")
         except Exception as e:
             ok = False
             detail = f"EXC {type(e).__name__}: {str(e)[:60]}"
