@@ -1615,9 +1615,10 @@ def _apply_photo(s: Dict[str, Any], k: Array, imgs: Array,
         a = args if not isinstance(args, dict) else args.get("alpha", 1.0)
         imgs = ph.grayscale(imgs, _sample(k, a, b, 1.0))
     elif name == "invert":
-        a = args if not isinstance(args, dict) else args.get("p", 0.5)
+        # imgaug Invert(p=1): bare/omitted p inverts every image
+        a = _bare(args, "p").get("p", 1.0)
         k1, k2 = jax.random.split(k)
-        imgs = ph.invert(k2, imgs, _sample(k1, a, b, 0.5))
+        imgs = ph.invert(k2, imgs, _sample(k1, a, b, 1.0))
     elif name == "solarize":
         # imgaug Solarize(p=1, threshold=128): the bare-scalar form is the
         # application PROBABILITY (not the threshold — that was a round-4
